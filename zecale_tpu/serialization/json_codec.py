@@ -1,0 +1,146 @@
+"""JSON encode/decode for field elements, curve points, proofs and keys.
+
+The wire format matches the reference's libzeth JSON conventions so that the
+golden vectors in ``/root/reference/testdata/dummy_app`` round-trip bit-exactly:
+
+  * prime-field element: "0x" + big-endian hex, zero-padded to the field's
+    byte length (48 bytes for BLS12-377 Fq, 96 for BW6-761 Fq, 32 for
+    BLS12-377 Fr, ...), as in testdata/dummy_app/vk.json.
+  * extension-field element: JSON array [c0, c1, ...] low coefficient first
+    (empirically validated against the G2 points of the golden vectors by
+    on-curve checks; see tests/test_golden_vectors.py).
+  * G1 point: [x, y]; G2 point: [x, y] with coords as above.
+  * Groth16 proof: {"a": G1, "b": G2, "c": G1}
+    (testdata/dummy_app/extproof1.json).
+  * Groth16 verification key: {"alpha": G1, "beta": G2, "delta": G2,
+    "ABC": [G1...]} (testdata/dummy_app/vk.json); gamma is fixed to 1 so
+    [gamma]_2 is the G2 generator.
+  * extended proof: {"proof": ..., "inputs": [Fr hex...]}.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Sequence
+
+from ..ff import host_field as hf
+from ..ff import params as P
+
+# ---------------------------------------------------------------------------
+# field elements
+# ---------------------------------------------------------------------------
+
+
+def int_to_hex(v: int, num_bytes: int) -> str:
+    return "0x" + v.to_bytes(num_bytes, "big").hex()
+
+
+def hex_to_int(s: str) -> int:
+    return int(s, 16)
+
+
+def fq_to_json(curve_name: str, v: int) -> str:
+    return int_to_hex(v, P.CURVES[curve_name].coord_bytes)
+
+
+def fr_to_json(curve_name: str, v: int) -> str:
+    return int_to_hex(v, P.CURVES[curve_name].scalar_bytes)
+
+
+def ext_to_json(curve_name: str, v) -> Any:
+    """Encode a G2-coordinate field element (prime or extension).
+
+    Extension coefficients are listed HIGH-first in the JSON (libzeth
+    convention, validated empirically: testdata G2 points only lie on the
+    twist when parsed [c1, c0]).
+    """
+    if isinstance(v, tuple):
+        return [fq_to_json(curve_name, c) for c in reversed(v)]
+    return fq_to_json(curve_name, v)
+
+
+def ext_from_json(curve_name: str, j) -> Any:
+    if isinstance(j, list):
+        return tuple(hex_to_int(c) for c in reversed(j))
+    return hex_to_int(j)
+
+
+# ---------------------------------------------------------------------------
+# points
+# ---------------------------------------------------------------------------
+
+
+def g1_to_json(curve_name: str, pt) -> List[str]:
+    assert pt is not None, "cannot serialize the point at infinity"
+    return [fq_to_json(curve_name, pt[0]), fq_to_json(curve_name, pt[1])]
+
+
+def g1_from_json(curve_name: str, j) -> tuple:
+    return (hex_to_int(j[0]), hex_to_int(j[1]))
+
+
+def g2_to_json(curve_name: str, pt) -> List[Any]:
+    assert pt is not None, "cannot serialize the point at infinity"
+    return [ext_to_json(curve_name, pt[0]), ext_to_json(curve_name, pt[1])]
+
+
+def g2_from_json(curve_name: str, j) -> tuple:
+    return (ext_from_json(curve_name, j[0]), ext_from_json(curve_name, j[1]))
+
+
+# ---------------------------------------------------------------------------
+# Groth16 proof / keys / extended proofs
+# ---------------------------------------------------------------------------
+
+
+def groth16_proof_to_json(curve_name: str, proof) -> dict:
+    return {
+        "a": g1_to_json(curve_name, proof.a),
+        "b": g2_to_json(curve_name, proof.b),
+        "c": g1_to_json(curve_name, proof.c),
+    }
+
+
+def groth16_proof_from_json(curve_name: str, j: dict):
+    from ..snark.groth16 import Groth16Proof
+
+    return Groth16Proof(
+        a=g1_from_json(curve_name, j["a"]),
+        b=g2_from_json(curve_name, j["b"]),
+        c=g1_from_json(curve_name, j["c"]),
+    )
+
+
+def groth16_vk_to_json(curve_name: str, vk) -> dict:
+    return {
+        "alpha": g1_to_json(curve_name, vk.alpha),
+        "beta": g2_to_json(curve_name, vk.beta),
+        "delta": g2_to_json(curve_name, vk.delta),
+        "ABC": [g1_to_json(curve_name, p) for p in vk.abc],
+    }
+
+
+def groth16_vk_from_json(curve_name: str, j: dict):
+    from ..snark.groth16 import Groth16VerificationKey
+
+    return Groth16VerificationKey(
+        alpha=g1_from_json(curve_name, j["alpha"]),
+        beta=g2_from_json(curve_name, j["beta"]),
+        delta=g2_from_json(curve_name, j["delta"]),
+        abc=[g1_from_json(curve_name, p) for p in j["ABC"]],
+    )
+
+
+def extended_proof_to_json(curve_name: str, ext_proof) -> dict:
+    return {
+        "proof": groth16_proof_to_json(curve_name, ext_proof.proof),
+        "inputs": [fr_to_json(curve_name, v) for v in ext_proof.inputs],
+    }
+
+
+def extended_proof_from_json(curve_name: str, j: dict):
+    from ..snark.groth16 import ExtendedProof
+
+    return ExtendedProof(
+        proof=groth16_proof_from_json(curve_name, j["proof"]),
+        inputs=[hex_to_int(v) for v in j["inputs"]],
+    )
