@@ -1,0 +1,67 @@
+"""Aggregator (wrapper) circuit: satisfiability, layout, invalid tolerance.
+
+Mirrors the reference's aggregator_dummy_test assertions (primary-input
+layout checks aggregator_dummy_test.cpp:43-97, corrupt-proof negative test
+:141-187) at witness level; full wrapper proving is covered by the TPU
+prover tests / bench.
+"""
+
+import random
+
+import pytest
+
+from zecale_tpu.aggregator import dummy_app as da
+from zecale_tpu.aggregator.circuit import AggregatorCircuit
+from zecale_tpu.snark.groth16 import ExtendedProof
+
+
+@pytest.fixture(scope="module")
+def batch1_setup():
+    circ = AggregatorCircuit(num_inputs_per_nested_proof=1, num_proofs=1)
+    rng = random.Random(5)
+    _, nkp = da.dummy_app_setup("bls12-377", rng)
+    ep = da.dummy_app_prove("bls12-377", nkp, 7, rng)
+    return circ, nkp, ep
+
+
+@pytest.mark.slow
+def test_wrapper_witness_valid_proof(batch1_setup):
+    circ, nkp, ep = batch1_setup
+    w = circ.generate_witness(nkp.vk, [ep])
+    assert circ.r1cs.first_failing_constraint(w) is None
+    # layout: [vk_hash, packed_results, nested_inputs...]
+    assert w[1] == circ.compute_nested_vk_hash(nkp.vk)
+    assert w[2] == 1  # result bit for the valid proof
+    assert w[3] == 7  # embedded nested input (fp_from_fp identity)
+    assert circ.num_primary_inputs == 3
+
+
+@pytest.mark.slow
+def test_wrapper_witness_corrupt_proof_result_zero(batch1_setup):
+    circ, nkp, ep = batch1_setup
+    bad = ExtendedProof(proof=ep.proof, inputs=[9])
+    w = circ.generate_witness(nkp.vk, [bad])
+    # still satisfiable -- invalid proofs are tolerated with result bit 0
+    assert circ.r1cs.first_failing_constraint(w) is None
+    assert w[2] == 0
+
+
+@pytest.mark.slow
+def test_wrapper_witness_wrong_vk_hash_changes(batch1_setup):
+    circ, nkp, ep = batch1_setup
+    rng = random.Random(99)
+    _, other_kp = da.dummy_app_setup("bls12-377", rng)
+    w = circ.generate_witness(other_kp.vk, [ep])
+    assert w[1] == circ.compute_nested_vk_hash(other_kp.vk)
+    assert w[1] != circ.compute_nested_vk_hash(nkp.vk)
+    # proof under the wrong vk -> result 0, still satisfiable
+    assert circ.r1cs.first_failing_constraint(w) is None
+    assert w[2] == 0
+
+
+def test_input_count_validation():
+    circ = object.__new__(AggregatorCircuit)  # avoid full build
+    circ.num_proofs = 2
+    circ.num_inputs = 1
+    with pytest.raises(ValueError):
+        AggregatorCircuit.generate_witness(circ, None, [])

@@ -1,0 +1,50 @@
+"""Bit (un)packing gadgets.
+
+Equivalent of libsnark's packing_gadget / multipacking_gadget as used by the
+reference aggregator (aggregator_circuit.tcc:84-89, aggregator_gadget.tcc:
+42-59): converting packed wrapper-field elements to fixed-width bit strings
+and back.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from .protoboard import LC, Protoboard
+
+
+def unpack_bits(pb: Protoboard, x: LC, num_bits: int) -> List[LC]:
+    """Allocate ``num_bits`` boolean vars b_i with sum b_i 2^i == x.
+
+    Returns bits LSB-first.  Soundness requires num_bits < log2(r) (no
+    wrap-around aliasing), which holds for every use here (nested scalars
+    packed into the strictly larger wrapper field;
+    aggregator_gadget.tcc:38 asserts the same in the reference).
+    """
+    assert (1 << num_bits) < pb.r, "unpacking width must not wrap the field"
+    bit_vars = pb.allocate_array(num_bits)
+
+    def fn(w, _x=x, _bits=bit_vars, _pb=pb):
+        v = _pb.lc_val(w, _x)
+        for i, idx in enumerate(_bits):
+            w[idx] = (v >> i) & 1
+
+    pb.add_hook(fn)
+    bits = [LC.of_var(i) for i in bit_vars]
+    for b in bits:
+        pb.enforce_boolean(b)
+    pb.enforce_equal(pack_lc(bits), x)
+    return bits
+
+
+def pack_lc(bits: List[LC]) -> LC:
+    """Linear combination sum b_i 2^i (free)."""
+    acc = LC()
+    for i, b in enumerate(bits):
+        acc = acc + b.scale(1 << i)
+    return acc
+
+
+def pack_bits(pb: Protoboard, bits: List[LC]) -> LC:
+    """Pack boolean LCs into one field element (bits assumed boolean)."""
+    return pack_lc(bits)
