@@ -8,7 +8,12 @@ multi-chip path; real-TPU benchmarking happens in bench.py only).
 import os
 
 # Must be set before the first jax import anywhere in the test process.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The image's sitecustomize registers the remote axon TPU backend whenever
+# PALLAS_AXON_POOL_IPS is set and forces JAX_PLATFORMS=axon; tests must run
+# on the local CPU backend (the single real TPU chip is reserved for
+# bench.py), so drop the trigger variable and force cpu.
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

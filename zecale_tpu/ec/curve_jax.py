@@ -1,0 +1,295 @@
+"""Batched Jacobian curve arithmetic + MSM on the JAX/TPU path.
+
+Works generically over any coefficient-field ops object exposing
+add/sub/neg/double/mont_mul/mont_sqr/is_zero/eq/select (FpTPU for G1 of both
+curves and BW6-761 G2; Fp2TPU for BLS12-377 G2).  All supported curves have
+a = 0, which the doubling formula exploits.
+
+Points are dicts {"x","y","z"} of field arrays (Jacobian: x = X/Z^2,
+y = Y/Z^3); Z == 0 encodes infinity.  The group law is UNIFIED: a single
+traced expression handles P+Q, P+P (doubling), P+(-P) and infinity operands
+via selects, so it is safe inside masked tree reductions and scans.
+
+MSM: bit-serial double-and-add with a masked binary-tree reduction per bit
+(fully shape-static, collective-friendly).  This is the correctness-first
+kernel; the Pippenger/bucket path is a later optimization (tracked in
+SURVEY.md section 7 step 3 / KNOWN_GAPS).
+
+Replaces libff's curve templates + multiexp (SURVEY.md section 2b).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def jac_point(x, y, z) -> Dict[str, Any]:
+    return {"x": x, "y": y, "z": z}
+
+
+class JacCurve:
+    """a=0 short-Weierstrass curve over field-ops ``F``."""
+
+    def __init__(self, F):
+        self.F = F
+
+    # ------------------------------------------------------------------
+    def infinity_like(self, pt):
+        F = self.F
+        zero = jnp.zeros_like(pt["x"])
+        return jac_point(zero, zero, jnp.zeros_like(pt["z"]))
+
+    def is_infinity(self, pt):
+        return self.F.is_zero(pt["z"])
+
+    def dbl(self, pt):
+        """2P (a=0: dbl-2009-l).  Returns infinity for infinity input."""
+        F = self.F
+        X1, Y1, Z1 = pt["x"], pt["y"], pt["z"]
+        A = F.mont_sqr(X1)
+        B = F.mont_sqr(Y1)
+        C = F.mont_sqr(B)
+        t = F.sub(F.mont_sqr(F.add(X1, B)), F.add(A, C))
+        D = F.double(t)  # 2((X1+B)^2 - A - C)
+        E = F.add(F.double(A), A)  # 3A
+        Fv = F.mont_sqr(E)
+        X3 = F.sub(Fv, F.double(D))
+        eightC = F.double(F.double(F.double(C)))
+        Y3 = F.sub(F.mont_mul(E, F.sub(D, X3)), eightC)
+        Z3 = F.double(F.mont_mul(Y1, Z1))
+        # doubling a 2-torsion/infinity point -> infinity (Z3 == 0 naturally
+        # when Y1 == 0 or Z1 == 0)
+        return jac_point(X3, Y3, Z3)
+
+    def add(self, p, q):
+        """Unified P + Q (handles equal/inverse/infinity operands)."""
+        F = self.F
+        X1, Y1, Z1 = p["x"], p["y"], p["z"]
+        X2, Y2, Z2 = q["x"], q["y"], q["z"]
+        Z1Z1 = F.mont_sqr(Z1)
+        Z2Z2 = F.mont_sqr(Z2)
+        U1 = F.mont_mul(X1, Z2Z2)
+        U2 = F.mont_mul(X2, Z1Z1)
+        S1 = F.mont_mul(Y1, F.mont_mul(Z2, Z2Z2))
+        S2 = F.mont_mul(Y2, F.mont_mul(Z1, Z1Z1))
+        H = F.sub(U2, U1)
+        Rr = F.sub(S2, S1)
+        # generic addition (add-2007-bl)
+        I = F.mont_sqr(F.double(H))
+        J = F.mont_mul(H, I)
+        r2 = F.double(Rr)
+        V = F.mont_mul(U1, I)
+        X3 = F.sub(F.sub(F.mont_sqr(r2), J), F.double(V))
+        Y3 = F.sub(
+            F.mont_mul(r2, F.sub(V, X3)),
+            F.double(F.mont_mul(S1, J)),
+        )
+        Z3 = F.mont_mul(
+            F.sub(F.sub(F.mont_sqr(F.add(Z1, Z2)), Z1Z1), Z2Z2), H
+        )
+        generic = jac_point(X3, Y3, Z3)
+
+        p_inf = self.is_infinity(p)
+        q_inf = self.is_infinity(q)
+        h_zero = F.is_zero(H)
+        r_zero = F.is_zero(Rr)
+        # doubling case: H == 0, R == 0 and both finite
+        dbl_case = h_zero & r_zero & ~p_inf & ~q_inf
+        # inverse case: H == 0, R != 0 -> infinity
+        inv_case = h_zero & ~r_zero & ~p_inf & ~q_inf
+
+        doubled = self.dbl(p)
+
+        def sel(field_name):
+            out = F.select(dbl_case, doubled[field_name], generic[field_name])
+            if field_name == "z":
+                out = F.select(inv_case, jnp.zeros_like(out), out)
+            out = F.select(p_inf, q[field_name], out)
+            out = F.select(q_inf & ~p_inf, p[field_name], out)
+            return out
+
+        return jac_point(sel("x"), sel("y"), sel("z"))
+
+    def select(self, cond, if_true, if_false):
+        F = self.F
+        return jac_point(
+            F.select(cond, if_true["x"], if_false["x"]),
+            F.select(cond, if_true["y"], if_false["y"]),
+            F.select(cond, if_true["z"], if_false["z"]),
+        )
+
+    def mask(self, pt, keep):
+        """Infinity-out the masked-off points (keep: (...) bool)."""
+        F = self.F
+        return jac_point(
+            pt["x"], pt["y"], F.select(keep, pt["z"], jnp.zeros_like(pt["z"]))
+        )
+
+    # ------------------------------------------------------------------
+    def tree_reduce(self, pts):
+        """Sum a batch of points along axis 0 via binary tree (unified add)."""
+        n = pts["x"].shape[0]
+        while n > 1:
+            half = n // 2
+            even = {k: v[: 2 * half : 2] for k, v in pts.items()}
+            odd = {k: v[1 : 2 * half : 2] for k, v in pts.items()}
+            summed = self.add(even, odd)
+            if n % 2:
+                tail = {k: v[2 * half : n] for k, v in pts.items()}
+                summed = {
+                    k: jnp.concatenate([v, tail[k]], axis=0)
+                    for k, v in summed.items()
+                }
+                n = half + 1
+            else:
+                n = half
+            pts = summed
+        return {k: v[0] for k, v in pts.items()}
+
+    def msm(self, scalar_bits, pts):
+        """sum_i s_i P_i.
+
+        scalar_bits: (num_bits, N) int32 bit planes, MSB first.
+        pts: batched Jacobian points, leading axis N.
+        Bit-serial: acc = 2 acc + tree_reduce(masked points) per bit.
+        """
+        num_bits = scalar_bits.shape[0]
+
+        def body(acc, bits):
+            acc = self.dbl(acc)
+            masked = self.mask(pts, bits > 0)
+            acc = self.add(acc, self.tree_reduce(masked))
+            return acc, None
+
+        acc0 = {k: jnp.zeros_like(v[0]) for k, v in pts.items()}
+        acc, _ = jax.lax.scan(body, acc0, scalar_bits)
+        return acc
+
+
+    # ------------------------------------------------------------------
+    # Pippenger (sorted-tile-scan bucket method, no scatter)
+    # ------------------------------------------------------------------
+    def _segment_tile_reduce(self, digits, pts, tile: int, sentinel: int):
+        """One reduction round of the scatter-free bucket accumulation.
+
+        ``digits``: (N,) int32 sorted ascending (sentinel entries last);
+        ``pts``: matching points.  Splits the array into tiles of length
+        ``tile``, runs a sequential segmented scan ALONG each tile with all
+        tiles advancing in parallel (lax.scan over the tile axis), then
+        keeps only segment-end positions (completed partial sums), packing
+        them to the front via one more sort.  Returns (digits', pts') of
+        the same length with >= (N - N/tile - #buckets) sentinel entries;
+        callers slice the front.
+        """
+        n = digits.shape[0]
+        assert n % tile == 0
+        T = n // tile
+        d2 = digits.reshape(T, tile)
+        p2 = {k: v.reshape(T, tile, *v.shape[1:]) for k, v in pts.items()}
+
+        # start-of-segment flags within the sorted order (global)
+        prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), digits[:-1]])
+        start = (digits != prev).reshape(T, tile)
+        # a tile always restarts its running sum at its first element
+        start = start.at[:, 0].set(True)
+        nxt = jnp.concatenate([digits[1:], jnp.full((1,), -2, jnp.int32)])
+        is_end = (digits != nxt).reshape(T, tile)
+        is_end = is_end.at[:, -1].set(True)
+
+        def step(carry, xs):
+            run = carry
+            d_k, s_k, pt_k = xs
+            prev_kept = self.mask(run, ~s_k)  # restart sum at segment starts
+            new_run = self.add(prev_kept, pt_k)
+            return new_run, new_run
+
+        xs = (
+            jnp.moveaxis(d2, 1, 0),
+            jnp.moveaxis(start, 1, 0),
+            {k: jnp.moveaxis(v, 1, 0) for k, v in p2.items()},
+        )
+        init = {
+            k: jnp.zeros_like(v[:, 0]) for k, v in p2.items()
+        }
+        _, scans = jax.lax.scan(step, init, xs)
+        # scans: dict of (tile, T, ...) inclusive segment sums
+        scan_flat = {
+            k: jnp.moveaxis(v, 0, 1).reshape(n, *v.shape[2:])
+            for k, v in scans.items()
+        }
+        keep = is_end.reshape(n)
+        out_digits = jnp.where(keep, digits, sentinel)
+        out_pts = self.mask(scan_flat, keep)
+        # compact completed sums to the front, still sorted by digit
+        order = jnp.argsort(out_digits)
+        out_digits = out_digits[order]
+        out_pts = {k: v[order] for k, v in out_pts.items()}
+        return out_digits, out_pts
+
+    def msm_pippenger(self, scalars_digits, pts, c: int):
+        """sum_i s_i P_i via windowed buckets.
+
+        scalars_digits: (num_windows, N) int32, digit w of scalar i in
+        [0, 2^c); window 0 is the MOST significant.  Scatter-free bucket
+        accumulation: per window, sort points by digit, reduce equal-digit
+        runs with tiled segmented scans, then combine the surviving
+        (digit, partial) pairs with a c-bit bit-serial mini-MSM.
+        """
+        num_windows, n = scalars_digits.shape
+        sentinel = 1 << c
+
+        def ceil_to(x, m):
+            return -(-x // m) * m
+
+        def window_sum(digits):
+            order = jnp.argsort(digits)
+            d = digits[order]
+            p = {k: v[order] for k, v in pts.items()}
+            # zero digits contribute nothing; mask them to infinity
+            p = self.mask(p, d > 0)
+            m = n
+            while m > 512:
+                tile = 64 if m >= 4096 else 8
+                if m % tile:
+                    pad = ceil_to(m, tile) - m
+                    d = jnp.concatenate(
+                        [d, jnp.full((pad,), sentinel, jnp.int32)]
+                    )
+                    p = {
+                        k: jnp.concatenate(
+                            [v, jnp.zeros((pad, *v.shape[1:]), v.dtype)]
+                        )
+                        for k, v in p.items()
+                    }
+                    m += pad
+                d, p = self._segment_tile_reduce(d, p, tile, sentinel)
+                # surviving candidates: <= tiles + buckets (+1 sentinel run)
+                keep_len = min(m, max(512, m // tile + sentinel + 2))
+                d = d[:keep_len]
+                p = {k: v[:keep_len] for k, v in p.items()}
+                if keep_len == m:
+                    break  # no further shrink possible
+                m = keep_len
+            # final: sum_j d_j * partial_j with d_j < 2^c (sentinel -> 0)
+            d = jnp.where(d >= sentinel, 0, d)
+            bits = jnp.stack(
+                [(d >> (c - 1 - b)) & 1 for b in range(c)], axis=0
+            )
+            return self.msm(bits, p)
+
+        # one scan over windows (identical structure per window keeps the
+        # compiled graph size independent of the window count)
+        def wbody(acc, digits_row):
+            for _ in range(c):
+                acc = self.dbl(acc)
+            return self.add(acc, window_sum(digits_row)), None
+
+        acc0_src = {k: v[0] for k, v in pts.items()}
+        acc0 = {k: jnp.zeros_like(v) for k, v in acc0_src.items()}
+        acc, _ = jax.lax.scan(wbody, acc0, scalars_digits)
+        return acc

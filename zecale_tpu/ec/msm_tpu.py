@@ -1,0 +1,157 @@
+"""Host <-> device glue for the JAX curve kernels, and the MSM entry points
+used by the Groth16 TPU prover.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ff import fp2_jax, fp_jax
+from ..ff import limb as lb
+from ..ff import params as P
+from . import host_curve as hc
+from .curve_jax import JacCurve, jac_point
+
+
+@functools.lru_cache(maxsize=None)
+def g1_curve_tpu(curve_name: str) -> JacCurve:
+    return JacCurve(fp_jax.field(P.CURVES[curve_name].q))
+
+
+@functools.lru_cache(maxsize=None)
+def g2_curve_tpu(curve_name: str) -> JacCurve:
+    if curve_name == "bls12-377":
+        return JacCurve(fp2_jax.bls12_377_fq2())
+    if curve_name == "bw6-761":
+        # BW6-761 G2 coordinates live in Fq itself
+        return JacCurve(fp_jax.field(P.BW6_761_Q))
+    raise KeyError(curve_name)
+
+
+# ---------------------------------------------------------------------------
+# packing
+# ---------------------------------------------------------------------------
+
+
+def pack_g1_points(curve_name: str, pts: Sequence) -> dict:
+    """Host affine points (or None) -> batched Jacobian device arrays."""
+    F = fp_jax.field(P.CURVES[curve_name].q)
+    xs, ys, zs = [], [], []
+    for pt in pts:
+        if pt is None:
+            xs.append(0), ys.append(0), zs.append(0)
+        else:
+            xs.append(pt[0]), ys.append(pt[1]), zs.append(1)
+    return jac_point(F.pack(xs), F.pack(ys), F.pack(zs))
+
+
+def pack_g2_points(curve_name: str, pts: Sequence) -> dict:
+    if curve_name == "bw6-761":
+        return pack_g1_points("bw6-761", pts)
+    F2 = fp2_jax.bls12_377_fq2()
+    zero2 = (0, 0)
+    one2 = (1, 0)
+    xs = [zero2 if pt is None else pt[0] for pt in pts]
+    ys = [zero2 if pt is None else pt[1] for pt in pts]
+    zs = [zero2 if pt is None else one2 for pt in pts]
+    return jac_point(F2.pack(xs), F2.pack(ys), F2.pack(zs))
+
+
+def unpack_g1_point(curve_name: str, pt_dev) -> Optional[tuple]:
+    """One device Jacobian point -> host affine tuple (or None)."""
+    F = fp_jax.field(P.CURVES[curve_name].q)
+    x, y, z = (
+        F.unpack(pt_dev["x"][None, :])[0],
+        F.unpack(pt_dev["y"][None, :])[0],
+        F.unpack(pt_dev["z"][None, :])[0],
+    )
+    if z == 0:
+        return None
+    fq = hc.g1_curve(curve_name).F
+    zinv = fq.inv(z)
+    zinv2 = fq.sqr(zinv)
+    return (fq.mul(x, zinv2), fq.mul(y, fq.mul(zinv2, zinv)))
+
+
+def unpack_g2_point(curve_name: str, pt_dev) -> Optional[tuple]:
+    if curve_name == "bw6-761":
+        return unpack_g1_point("bw6-761", pt_dev)
+    F2 = fp2_jax.bls12_377_fq2()
+    x = F2.unpack(pt_dev["x"][None])[0]
+    y = F2.unpack(pt_dev["y"][None])[0]
+    z = F2.unpack(pt_dev["z"][None])[0]
+    fq2 = hc.g2_curve(curve_name).F
+    if fq2.is_zero(z):
+        return None
+    zinv = fq2.inv(z)
+    zinv2 = fq2.sqr(zinv)
+    return (fq2.mul(x, zinv2), fq2.mul(y, fq2.mul(zinv2, zinv)))
+
+
+def scalar_bit_planes(scalars: Sequence[int], num_bits: int) -> jnp.ndarray:
+    """(num_bits, N) int32, MSB first."""
+    N = len(scalars)
+    out = np.zeros((num_bits, N), dtype=np.int32)
+    for i, s in enumerate(scalars):
+        for b in range(num_bits):
+            out[num_bits - 1 - b, i] = (s >> b) & 1
+    return jnp.asarray(out)
+
+
+# ---------------------------------------------------------------------------
+# MSM entry points (host scalars/points in, host affine point out)
+# ---------------------------------------------------------------------------
+
+
+def msm_g1(curve_name: str, scalars: Sequence[int], points: Sequence):
+    r = P.CURVES[curve_name].r
+    crv = g1_curve_tpu(curve_name)
+    bits = scalar_bit_planes([s % r for s in scalars], r.bit_length())
+    acc = crv.msm(bits, pack_g1_points(curve_name, points))
+    return unpack_g1_point(curve_name, acc)
+
+
+def msm_g2(curve_name: str, scalars: Sequence[int], points: Sequence):
+    r = P.CURVES[curve_name].r
+    crv = g2_curve_tpu(curve_name)
+    bits = scalar_bit_planes([s % r for s in scalars], r.bit_length())
+    acc = crv.msm(bits, pack_g2_points(curve_name, points))
+    return unpack_g2_point(curve_name, acc)
+
+
+def scalar_digit_planes(
+    scalars: Sequence[int], num_bits: int, c: int
+) -> jnp.ndarray:
+    """(num_windows, N) int32 c-bit digits, most significant window first."""
+    num_windows = -(-num_bits // c)
+    N = len(scalars)
+    out = np.zeros((num_windows, N), dtype=np.int32)
+    mask = (1 << c) - 1
+    for i, s in enumerate(scalars):
+        for w in range(num_windows):
+            shift = c * (num_windows - 1 - w)
+            out[w, i] = (s >> shift) & mask
+    return jnp.asarray(out)
+
+
+MSM_WINDOW_C = 8
+
+
+def msm_g1_pippenger(curve_name: str, scalars, points, c: int = MSM_WINDOW_C):
+    r = P.CURVES[curve_name].r
+    crv = g1_curve_tpu(curve_name)
+    digits = scalar_digit_planes([s % r for s in scalars], r.bit_length(), c)
+    acc = crv.msm_pippenger(digits, pack_g1_points(curve_name, points), c)
+    return unpack_g1_point(curve_name, acc)
+
+
+def msm_g2_pippenger(curve_name: str, scalars, points, c: int = MSM_WINDOW_C):
+    r = P.CURVES[curve_name].r
+    crv = g2_curve_tpu(curve_name)
+    digits = scalar_digit_planes([s % r for s in scalars], r.bit_length(), c)
+    acc = crv.msm_pippenger(digits, pack_g2_points(curve_name, points), c)
+    return unpack_g2_point(curve_name, acc)
