@@ -1,0 +1,31 @@
+# Developer entry points.
+#
+# IMPORTANT: CPU-only work (tests, local drives) must run with
+# PALLAS_AXON_POOL_IPS unset: the image's sitecustomize otherwise registers
+# the remote axon TPU backend at interpreter startup, which (a) routes every
+# JAX dispatch through the TPU tunnel and (b) blocks process startup
+# entirely when the tunnel is busy/wedged.  Only bench/TPU scripts should
+# keep the default environment.
+
+TEST_ENV = env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
+           XLA_FLAGS=--xla_force_host_platform_device_count=8
+
+.PHONY: test test-all bench e2e dryrun
+
+test:
+	$(TEST_ENV) python -m pytest tests/ -x -q
+
+test-all:
+	$(TEST_ENV) python -m pytest tests/ -x -q --run-slow
+
+bench:
+	python bench.py
+
+e2e:
+	python scripts/aggregate_e2e.py --batch 2
+
+e2e-cpu:
+	$(TEST_ENV) python scripts/aggregate_e2e.py --batch 1
+
+dryrun:
+	$(TEST_ENV) python __graft_entry__.py

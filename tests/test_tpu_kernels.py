@@ -134,3 +134,23 @@ def test_fft_matches_host(n):
     assert F.unpack(fft_tpu.fft(dev, r, inverse=True)) == d.ifft(coeffs)
     assert F.unpack(fft_tpu.coset_fft(dev, r)) == d.coset_fft(coeffs)
     assert F.unpack(fft_tpu.coset_ifft(dev, r)) == d.coset_ifft(coeffs)
+
+
+@pytest.mark.slow
+def test_groth16_tpu_prove_verify_dummy_app():
+    """Full TPU-path Groth16 (setup + prove) on the dummy app circuit,
+    verified by the exact host verifier."""
+    from zecale_tpu.aggregator import dummy_app as da
+    from zecale_tpu.snark.groth16 import Groth16
+    from zecale_tpu.snark.groth16_tpu import Groth16TPU
+
+    curve = "bls12-377"
+    r1cs = da.dummy_app_r1cs(curve)
+    tpu = Groth16TPU(curve)
+    kp = tpu.generate_setup(r1cs, random.Random(21))
+    asg = da.dummy_app_assignment(curve, 7)
+    assert r1cs.is_satisfied(asg)
+    proof = tpu.prove(r1cs, kp.pk, asg, random.Random(22))
+    host = Groth16(curve)
+    assert host.verify([7], proof, kp.vk)
+    assert not host.verify([8], proof, kp.vk)

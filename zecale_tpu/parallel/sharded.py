@@ -35,7 +35,14 @@ AXIS = "points"
 
 def make_mesh(n_devices: int) -> Mesh:
     devs = jax.devices()[:n_devices]
-    return jax.make_mesh((len(devs),), (AXIS,), devices=devs)
+    # Auto axis type: with_sharding_constraint (GSPMD) needs Auto axes in
+    # jax 0.9 (Explicit meshes require the reshard API instead).
+    return jax.make_mesh(
+        (len(devs),),
+        (AXIS,),
+        axis_types=(jax.sharding.AxisType.Auto,),
+        devices=devs,
+    )
 
 
 def _pt_specs(pts: dict, shard_first: bool):
@@ -67,6 +74,7 @@ def msm_sharded(curve_name: str, mesh: Mesh, digits, pts: dict, c: int, g2: bool
         mesh=mesh,
         in_specs=(PS(None, AXIS), _pt_specs(pts, True)),
         out_specs=_pt_specs({k: v[0] for k, v in pts.items()}, False),
+        check_rep=False,  # scan carries inside the kernel are unvarying
     )
     return fn(digits, pts)
 
@@ -130,6 +138,7 @@ def prove_core_sharded(
         mesh=mesh,
         in_specs=(PS(None, AXIS), _pt_specs(h_points, True)),
         out_specs=_pt_specs({k: v[0] for k, v in h_points.items()}, False),
+        check_rep=False,  # scan carries inside the kernel are unvarying
     )
 
     @jax.jit
