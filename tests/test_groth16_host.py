@@ -47,3 +47,23 @@ def test_multi_constraint_circuit():
     proof = snark.prove(r1cs, kp.pk, assignment, rng)
     assert snark.verify([y2], proof, kp.vk)
     assert not snark.verify([y2 + 1], proof, kp.vk)
+
+
+@pytest.mark.parametrize("curve", ["bls12-377", "mnt4-298"])
+@pytest.mark.slow
+def test_pghr13_prove_verify(curve):
+    from zecale_tpu.snark.pghr13 import Pghr13
+    from zecale_tpu.aggregator import dummy_app as da
+
+    rng = random.Random(777)
+    r1cs = da.dummy_app_r1cs(curve)
+    snark = Pghr13(curve)
+    kp = snark.generate_setup(r1cs, rng)
+    asg = da.dummy_app_assignment(curve, 7)
+    proof = snark.prove(r1cs, kp.pk, asg, rng)
+    assert snark.verify([7], proof, kp.vk)
+    assert not snark.verify([8], proof, kp.vk)
+    # proof from a different statement fails
+    other = snark.prove(r1cs, kp.pk, da.dummy_app_assignment(curve, 9), rng)
+    assert snark.verify([9], other, kp.vk)
+    assert not snark.verify([7], other, kp.vk)
