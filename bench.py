@@ -52,11 +52,10 @@ def main() -> int:
     pts = [base_pts[i % 64] for i in range(N_POINTS)]
     scalars = [rng.randrange(r) for _ in range(N_POINTS)]
 
-    crv = msm_tpu.g1_curve_tpu(CURVE)
     digits = msm_tpu.scalar_digit_planes(scalars, r.bit_length(), WINDOW_C)
     pts_dev = msm_tpu.pack_g1_points(CURVE, pts)
 
-    fn = jax.jit(lambda d, p: crv.msm_pippenger(d, p, WINDOW_C))
+    fn = msm_tpu.msm_jit(CURVE, False, WINDOW_C)
     log("compiling MSM kernel...")
     t0 = time.time()
     out = fn(digits, pts_dev)

@@ -41,16 +41,21 @@ class AggregatorCircuit:
     (aggregator_circuit.hpp:92-114).
     """
 
-    WRAPPER_CURVE = "bw6-761"
-    NESTED_CURVE = "bls12-377"
-
-    def __init__(self, num_inputs_per_nested_proof: int, num_proofs: int):
+    def __init__(
+        self,
+        num_inputs_per_nested_proof: int,
+        num_proofs: int,
+        wrapper_curve: str = "bw6-761",
+    ):
         assert num_inputs_per_nested_proof >= 1
         assert num_proofs >= 1
+        nested, wrapper = P.CURVE_PAIRS[wrapper_curve]
+        self.WRAPPER_CURVE = wrapper
+        self.NESTED_CURVE = nested
         self.num_inputs = num_inputs_per_nested_proof
         self.num_proofs = num_proofs
 
-        pb = Protoboard(P.BW6_761_R)
+        pb = Protoboard(P.CURVES[wrapper].r)
         self.pb = pb
 
         # --- primary inputs, in the documented order -------------------
@@ -63,7 +68,7 @@ class AggregatorCircuit:
         pb.seal_primary()
 
         # --- verifier machinery ---------------------------------------
-        self.verifier = Groth16VerifierGadget(pb)
+        self.verifier = Groth16VerifierGadget(pb, self.NESTED_CURVE)
         self._vk_var = self.verifier.alloc_vk(num_inputs_per_nested_proof)
         self._proof_vars = [
             self.verifier.alloc_proof() for _ in range(num_proofs)
@@ -90,6 +95,7 @@ class AggregatorCircuit:
 
         self.r1cs = pb.to_r1cs()
         self.wsnark = Groth16(self.WRAPPER_CURVE)
+
 
     def _hook_assign_primary(self, var_idx: int, lc: LC) -> None:
         pb = self.pb
@@ -174,6 +180,7 @@ class AggregatorCircuit:
         return ExtendedProof(proof=proof, inputs=primary)
 
     # ------------------------------------------------------------------
-    @staticmethod
-    def compute_nested_vk_hash(nested_vk: Groth16VerificationKey) -> int:
-        return vkh.compute_vk_hash("bls12-377", nested_vk, P.BW6_761_R)
+    def compute_nested_vk_hash(self, nested_vk: Groth16VerificationKey) -> int:
+        return vkh.compute_vk_hash(
+            self.NESTED_CURVE, nested_vk, P.CURVES[self.WRAPPER_CURVE].r
+        )

@@ -141,17 +141,53 @@ def scalar_digit_planes(
 MSM_WINDOW_C = 8
 
 
+@functools.lru_cache(maxsize=None)
+def msm_jit(curve_name: str, g2: bool, c: int = MSM_WINDOW_C):
+    """Cached jitted Pippenger MSM entry: (digits, pts) -> Jacobian point.
+    Field constants ride as jit arguments (axon const-folding hazard)."""
+    from ..utils.jit_utils import bound_jit
+
+    crv = g2_curve_tpu(curve_name) if g2 else g1_curve_tpu(curve_name)
+    return bound_jit([crv.F], lambda d, p: crv.msm_pippenger(d, p, c))
+
+
+@functools.lru_cache(maxsize=None)
+def batch_mul_jit(curve_name: str, g2: bool):
+    """Cached jitted batched fixed-base scalar multiply:
+    (bits (num_bits, N), base_batch pts) -> pts."""
+    import jax
+
+    from ..utils.jit_utils import bound_jit
+
+    crv = g2_curve_tpu(curve_name) if g2 else g1_curve_tpu(curve_name)
+
+    def run(bits, base_batch):
+        def body(acc, bit_row):
+            acc = crv.dbl(acc)
+            added = crv.add(acc, base_batch)
+            acc = crv.select(bit_row > 0, added, acc)
+            return acc, None
+
+        acc0 = {k: jnp.zeros_like(v) for k, v in base_batch.items()}
+        acc, _ = jax.lax.scan(body, acc0, bits)
+        return acc
+
+    return bound_jit([crv.F], run)
+
+
 def msm_g1_pippenger(curve_name: str, scalars, points, c: int = MSM_WINDOW_C):
     r = P.CURVES[curve_name].r
-    crv = g1_curve_tpu(curve_name)
     digits = scalar_digit_planes([s % r for s in scalars], r.bit_length(), c)
-    acc = crv.msm_pippenger(digits, pack_g1_points(curve_name, points), c)
+    acc = msm_jit(curve_name, False, c)(
+        digits, pack_g1_points(curve_name, points)
+    )
     return unpack_g1_point(curve_name, acc)
 
 
 def msm_g2_pippenger(curve_name: str, scalars, points, c: int = MSM_WINDOW_C):
     r = P.CURVES[curve_name].r
-    crv = g2_curve_tpu(curve_name)
     digits = scalar_digit_planes([s % r for s in scalars], r.bit_length(), c)
-    acc = crv.msm_pippenger(digits, pack_g2_points(curve_name, points), c)
+    acc = msm_jit(curve_name, True, c)(
+        digits, pack_g2_points(curve_name, points)
+    )
     return unpack_g2_point(curve_name, acc)

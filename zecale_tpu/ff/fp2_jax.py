@@ -14,6 +14,8 @@ from . import limb as lb
 
 
 class Fp2TPU:
+    """See FpTPU.consts/bound for the constant-binding protocol."""
+
     def __init__(self, p: int, nr: int):
         self.base = fp_jax.FpTPU(p)
         self.p = p
@@ -26,6 +28,21 @@ class Fp2TPU:
             lb.to_limbs(self.nr * mp.r_mod_p % p, self.base.L).astype(np.int32)
         )
         self.L = self.base.L
+
+    def consts(self):
+        return {"base": self.base.consts(), "nr": self.nr_mont}
+
+    import contextlib as _ctx
+
+    @_ctx.contextmanager
+    def bound(self, c):
+        old_nr = self.nr_mont
+        self.nr_mont = c["nr"]
+        try:
+            with self.base.bound(c["base"]):
+                yield
+        finally:
+            self.nr_mont = old_nr
 
     # elements: (..., 2, L)
     def zero(self, shape=()):

@@ -24,6 +24,7 @@ TPU datapath rather than translated.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
@@ -113,6 +114,28 @@ class FpTPU:
         self.r2_limbs = jnp.asarray(mp.r2_limbs.astype(np.int32))
         self.one_mont = jnp.asarray(mp.one_mont_limbs.astype(np.int32))
         self.pcomp_limbs = jnp.asarray(lb.to_limbs(R - p, L).astype(np.int32))
+
+    # ------------------------------------------------------------------
+    # Constant binding: the XLA-TPU (axon) compiler pathologically
+    # constant-folds graphs where a convolution operand is a literal, so hot
+    # paths must receive the per-modulus constants as jit ARGUMENTS.  A
+    # bound_jit wrapper (zecale_tpu.utils.jit_utils) passes consts() at call
+    # time and enters bound() while tracing.
+    _CONST_ATTRS = ("p_limbs", "np_limbs", "r2_limbs", "one_mont", "pcomp_limbs")
+
+    def consts(self):
+        return {a: getattr(self, a) for a in self._CONST_ATTRS}
+
+    @contextlib.contextmanager
+    def bound(self, c):
+        old = {a: getattr(self, a) for a in self._CONST_ATTRS}
+        for a in self._CONST_ATTRS:
+            setattr(self, a, c[a])
+        try:
+            yield
+        finally:
+            for a in self._CONST_ATTRS:
+                setattr(self, a, old[a])
 
     # ------------------------------------------------------------------
     def zero(self, shape=()):
@@ -205,17 +228,31 @@ class FpTPU:
         return self.pow_const(a, self.p - 2)
 
     # -- host conversion ------------------------------------------------------
+    def _mont_convert_jit(self):
+        if not hasattr(self, "_mont_conv_fn"):
+            from ..utils.jit_utils import bound_jit
+
+            self._mont_conv_fn = bound_jit(
+                [self],
+                lambda a, to: jnp.where(
+                    to, self.to_mont(a), self.from_mont(a)
+                ),
+            )
+        return self._mont_conv_fn
+
     def pack(self, ints, mont: bool = True):
         arr = jnp.asarray(
             lb.batch_to_limbs([x % self.p for x in ints], self.L).astype(
                 np.int32
             )
         )
-        return self.to_mont(arr) if mont else arr
+        if not mont:
+            return arr
+        return self._mont_convert_jit()(arr, True)
 
     def unpack(self, arr, mont: bool = True) -> list:
         if mont:
-            arr = self.from_mont(arr)
+            arr = self._mont_convert_jit()(arr, False)
         return lb.batch_from_limbs(np.asarray(arr))
 
 

@@ -58,15 +58,25 @@ class ProcessedVk:
 
 
 class Groth16VerifierGadget:
-    """nested BLS12-377 Groth16 verification arithmetized over Fr(BW6-761)."""
+    """Nested Groth16 verification arithmetized over the wrapper scalar
+    field.  Supports both curve pairs (BLS12-377 inside BW6-761 and
+    MNT4-298 inside MNT6-298, reference ZECALE_CURVE options)."""
 
-    NESTED_CURVE = "bls12-377"
-
-    def __init__(self, pb: Protoboard):
-        assert pb.r == P.BW6_761_R
+    def __init__(self, pb: Protoboard, nested_curve: str = "bls12-377"):
+        self.NESTED_CURVE = nested_curve
+        assert pb.r == P.CURVES[nested_curve].q, (
+            "wrapper scalar field must equal the nested base field"
+        )
         self.pb = pb
         self.towers = gadget_towers(pb, self.NESTED_CURVE)
-        self.pairing = BLS12PairingGadget(pb, self.towers)
+        if nested_curve == "bls12-377":
+            self.pairing = BLS12PairingGadget(pb, self.towers)
+        elif nested_curve == "mnt4-298":
+            from .mnt_pairing_gadget import MNT4PairingGadget
+
+            self.pairing = MNT4PairingGadget(pb, self.towers)
+        else:
+            raise KeyError(nested_curve)
         host_g1 = hc.g1_curve(self.NESTED_CURVE)
         self.host_g1 = host_g1
         self.host_g2 = hc.g2_curve(self.NESTED_CURVE)
@@ -74,7 +84,7 @@ class Groth16VerifierGadget:
             self.towers["fq"], host_g1.a, host_g1.b
         )
         self.g2_gadget = self.pairing.g2_gadget
-        self.scalar_bits = P.CURVES[self.NESTED_CURVE].r.bit_length()  # 253
+        self.scalar_bits = P.CURVES[self.NESTED_CURVE].r.bit_length()
 
         # MSM offset point: fixed subgroup point with precomputed 2^n multiple
         self._offset_D = host_g1._mul_raw(

@@ -21,7 +21,11 @@ def unpack_bits(pb: Protoboard, x: LC, num_bits: int) -> List[LC]:
     packed into the strictly larger wrapper field;
     aggregator_gadget.tcc:38 asserts the same in the reference).
     """
-    assert (1 << num_bits) < pb.r, "unpacking width must not wrap the field"
+    # The reference allows nested and wrapper scalar fields of EQUAL bit
+    # length (MNT cycle; aggregator_gadget.tcc:38 asserts <=).  With equal
+    # widths the top slice [r, 2^num_bits) aliases, which (as in the
+    # reference) only lets a malicious prover flip a result bit to 0.
+    assert num_bits <= pb.r.bit_length(), "unpacking wider than the field"
     bit_vars = pb.allocate_array(num_bits)
 
     def fn(w, _x=x, _bits=bit_vars, _pb=pb):

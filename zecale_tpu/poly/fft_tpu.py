@@ -64,14 +64,26 @@ def _plan(n: int, r: int, inverse: bool):
     )
 
 
-def fft(values, r: int, inverse: bool = False):
+def plan_arrays(n: int, r: int, inverse: bool):
+    """Device-ready plan pytree (pass as a jit ARGUMENT -- embedding the
+    twiddles as literals hangs the axon compiler's constant folding)."""
+    rev_np, stage_tw_np, size_inv_np = _plan(n, r, inverse)
+    return {
+        "rev": jnp.asarray(rev_np),
+        "tw": [jnp.asarray(t) for t in stage_tw_np],
+        "sinv": jnp.asarray(size_inv_np),
+    }
+
+
+def fft(values, r: int, inverse: bool = False, plan=None):
     """In-domain FFT/iFFT of Montgomery-form values, shape (n, L)."""
     F = fp_jax.field(r)
     n = values.shape[0]
-    rev_np, stage_tw_np, size_inv_np = _plan(n, r, inverse)
-    rev = jnp.asarray(rev_np)
-    stage_tw = [jnp.asarray(t) for t in stage_tw_np]
-    size_inv = jnp.asarray(size_inv_np)
+    if plan is None:
+        plan = plan_arrays(n, r, inverse)
+    rev = plan["rev"]
+    stage_tw = plan["tw"]
+    size_inv = plan["sinv"]
     a = values[rev]
     bits = n.bit_length() - 1
     for s in range(bits):
@@ -112,15 +124,74 @@ def _coset_scale(n: int, r: int, inverse: bool):
     return lb.batch_to_limbs(vals, mp.L).astype(np.int32)
 
 
-def coset_fft(coeffs, r: int):
+def coset_scale_array(n: int, r: int, inverse: bool):
+    return jnp.asarray(_coset_scale(n, r, inverse))
+
+
+def coset_fft(coeffs, r: int, plan=None, scale=None):
     F = fp_jax.field(r)
     n = coeffs.shape[0]
-    shifted = F.mont_mul(coeffs, jnp.asarray(_coset_scale(n, r, False)))
-    return fft(shifted, r, inverse=False)
+    if scale is None:
+        scale = coset_scale_array(n, r, False)
+    shifted = F.mont_mul(coeffs, scale)
+    return fft(shifted, r, inverse=False, plan=plan)
 
 
-def coset_ifft(evals, r: int):
+def coset_ifft(evals, r: int, plan=None, scale=None):
     F = fp_jax.field(r)
     n = evals.shape[0]
-    coeffs = fft(evals, r, inverse=True)
-    return F.mont_mul(coeffs, jnp.asarray(_coset_scale(n, r, True)))
+    if scale is None:
+        scale = coset_scale_array(n, r, True)
+    coeffs = fft(evals, r, inverse=True, plan=plan)
+    return F.mont_mul(coeffs, scale)
+
+
+# ---------------------------------------------------------------------------
+# jit entry (constants-as-arguments protocol)
+# ---------------------------------------------------------------------------
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def h_pipeline_jit(n: int, r: int):
+    """Cached jitted QAP-division pipeline:
+    (az, bz, cz evals) -> H coefficients, all Montgomery (n, L)."""
+    from ..utils.jit_utils import bound_jit
+
+    F = fp_jax.field(r)
+
+    def run(az, bz, cz, zinv, fplan, iplan, fscale, iscale):
+        a_c = fft(az, r, inverse=True, plan=iplan)
+        b_c = fft(bz, r, inverse=True, plan=iplan)
+        c_c = fft(cz, r, inverse=True, plan=iplan)
+        a_e = coset_fft(a_c, r, plan=fplan, scale=fscale)
+        b_e = coset_fft(b_c, r, plan=fplan, scale=fscale)
+        c_e = coset_fft(c_c, r, plan=fplan, scale=fscale)
+        h_e = F.mont_mul(
+            F.sub(F.mont_mul(a_e, b_e), c_e),
+            jnp.broadcast_to(zinv, a_e.shape),
+        )
+        return coset_ifft(h_e, r, plan=iplan, scale=iscale)
+
+    inner = bound_jit([F], run)
+    fplan = plan_arrays(n, r, False)
+    iplan = plan_arrays(n, r, True)
+    fscale = coset_scale_array(n, r, False)
+    iscale = coset_scale_array(n, r, True)
+    from ..ff import limb as _lb
+    from ..poly.domain_host import domain as _dom
+    import numpy as _np
+
+    d = _dom(n, r)
+    mp = _lb.mont_params(r)
+    zinv = jnp.asarray(
+        _lb.to_limbs(
+            d.vanishing_on_coset_inverse() * mp.r_mod_p % r, F.L
+        ).astype(_np.int32)
+    )
+
+    def call(az, bz, cz):
+        return inner(az, bz, cz, zinv, fplan, iplan, fscale, iscale)
+
+    return call

@@ -57,7 +57,30 @@ class DevicePk:
     h_query: dict
 
 
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p <<= 1
+    return p
+
+
 def pack_pk(curve_name: str, pk: Groth16ProvingKey, num_pub: int) -> DevicePk:
+    """Pack to device, padding every G1 query to ONE common power-of-two
+    length (with points at infinity): all four G1 MSMs then share a single
+    compiled kernel instead of one compile per distinct size."""
+    n_g1 = _next_pow2(
+        max(
+            len(pk.a_query),
+            len(pk.b_g1_query),
+            max(1, len(pk.l_query)),
+            max(1, len(pk.h_query)),
+        )
+    )
+    n_g2 = _next_pow2(len(pk.b_g2_query))
+
+    def pad(q, n):
+        return list(q) + [None] * (n - len(q))
+
     return DevicePk(
         curve_name=curve_name,
         num_pub=num_pub,
@@ -66,12 +89,26 @@ def pack_pk(curve_name: str, pk: Groth16ProvingKey, num_pub: int) -> DevicePk:
         beta_g2=pk.beta_g2,
         delta_g1=pk.delta_g1,
         delta_g2=pk.delta_g2,
-        a_query=msm_tpu.pack_g1_points(curve_name, pk.a_query),
-        b_g1_query=msm_tpu.pack_g1_points(curve_name, pk.b_g1_query),
-        b_g2_query=msm_tpu.pack_g2_points(curve_name, pk.b_g2_query),
-        l_query=msm_tpu.pack_g1_points(curve_name, pk.l_query),
-        h_query=msm_tpu.pack_g1_points(curve_name, pk.h_query),
+        a_query=msm_tpu.pack_g1_points(curve_name, pad(pk.a_query, n_g1)),
+        b_g1_query=msm_tpu.pack_g1_points(curve_name, pad(pk.b_g1_query, n_g1)),
+        b_g2_query=msm_tpu.pack_g2_points(curve_name, pad(pk.b_g2_query, n_g2)),
+        l_query=msm_tpu.pack_g1_points(curve_name, pad(pk.l_query, n_g1)),
+        h_query=msm_tpu.pack_g1_points(curve_name, pad(pk.h_query, n_g1)),
     )
+
+
+def _abc_evaluations_fast(r1cs: R1CS, assignment):
+    """Sparse R1CS evaluation via the native witness engine when available
+    (csrc/witness_engine.c), falling back to the Python path."""
+    nat = getattr(r1cs, "_native", None)
+    if nat is None:
+        from ..native.witness import NativeR1CS
+
+        nat = NativeR1CS(r1cs)
+        r1cs._native = nat
+    if nat.available:
+        return nat.abc_evaluations(assignment)
+    return r1cs.abc_evaluations(assignment)
 
 
 class Groth16TPU:
@@ -92,28 +129,19 @@ class Groth16TPU:
     # ------------------------------------------------------------------
     # batched fixed-base scalar multiplication (for setup)
     # ------------------------------------------------------------------
-    def _batch_scalar_mul(self, crv_tpu, pack_pt, scalars: Sequence[int], base):
+    def _batch_scalar_mul(self, g2: bool, pack_pt, scalars: Sequence[int], base):
         """[k_i] * base for all i, on device."""
         n = len(scalars)
         bits = msm_tpu.scalar_bit_planes(
             [s % self.r for s in scalars], self.r.bit_length()
         )
         base_batch = pack_pt(self.curve_name, [base] * n)
-
-        def body(acc, bit_row):
-            acc = crv_tpu.dbl(acc)
-            added = crv_tpu.add(acc, base_batch)
-            acc = crv_tpu.select(bit_row > 0, added, acc)
-            return acc, None
-
-        acc0 = {k: jnp.zeros_like(v) for k, v in base_batch.items()}
-        acc, _ = jax.lax.scan(body, acc0, bits)
-        return acc
+        return msm_tpu.batch_mul_jit(self.curve_name, g2)(bits, base_batch)
 
     def batch_mul_g1(self, scalars, base=None):
         base = base or hc.generators(self.curve_name)[0]
         acc = self._batch_scalar_mul(
-            self.g1_tpu, msm_tpu.pack_g1_points, scalars, base
+            False, msm_tpu.pack_g1_points, scalars, base
         )
         return [
             msm_tpu.unpack_g1_point(
@@ -125,7 +153,7 @@ class Groth16TPU:
     def batch_mul_g2(self, scalars, base=None):
         base = base or hc.generators(self.curve_name)[1]
         acc = self._batch_scalar_mul(
-            self.g2_tpu, msm_tpu.pack_g2_points, scalars, base
+            True, msm_tpu.pack_g2_points, scalars, base
         )
         return [
             msm_tpu.unpack_g2_point(
@@ -214,26 +242,10 @@ class Groth16TPU:
     def h_coefficients_device(self, r1cs: R1CS, assignment: Sequence[int]):
         """H(x) coefficient limbs on device (Montgomery form)."""
         r = self.r
-        az, bz, cz = r1cs.abc_evaluations(assignment)
+        az, bz, cz = _abc_evaluations_fast(r1cs, assignment)
         F = self.Fr
         dev = [F.pack(v) for v in (az, bz, cz)]
-        a_c = fft_tpu.fft(dev[0], r, inverse=True)
-        b_c = fft_tpu.fft(dev[1], r, inverse=True)
-        c_c = fft_tpu.fft(dev[2], r, inverse=True)
-        a_e = fft_tpu.coset_fft(a_c, r)
-        b_e = fft_tpu.coset_fft(b_c, r)
-        c_e = fft_tpu.coset_fft(c_c, r)
-        d = domain(r1cs.qap_degree, r)
-        zinv = d.vanishing_on_coset_inverse()
-        mp = lb.mont_params(r)
-        zinv_m = jnp.asarray(
-            lb.to_limbs(zinv * mp.r_mod_p % r, F.L).astype(np.int32)
-        )
-        h_e = F.mont_mul(
-            F.sub(F.mont_mul(a_e, b_e), c_e),
-            jnp.broadcast_to(zinv_m, a_e.shape),
-        )
-        return fft_tpu.coset_ifft(h_e, r)
+        return fft_tpu.h_pipeline_jit(r1cs.qap_degree, r)(*dev)
 
     def prove(
         self,
@@ -255,18 +267,20 @@ class Groth16TPU:
         nbits = r.bit_length()
         asg = [a % r for a in assignment]
 
-        def msm(crv, query, scalars):
+        def msm(g2, query, scalars):
             n = query["x"].shape[0]
             assert len(scalars) <= n
             scal = list(scalars) + [0] * (n - len(scalars))
-            bits = msm_tpu.scalar_bit_planes(scal, nbits)
-            return crv.msm(bits, query)
+            digits = msm_tpu.scalar_digit_planes(
+                scal, nbits, msm_tpu.MSM_WINDOW_C
+            )
+            return msm_tpu.msm_jit(self.curve_name, g2)(digits, query)
 
-        ev_a = msm(self.g1_tpu, dpk.a_query, asg)
-        ev_b1 = msm(self.g1_tpu, dpk.b_g1_query, asg)
-        ev_b2 = msm(self.g2_tpu, dpk.b_g2_query, asg)
-        ev_l = msm(self.g1_tpu, dpk.l_query, asg[num_pub:])
-        ev_h = msm(self.g1_tpu, dpk.h_query, h_scalars)
+        ev_a = msm(False, dpk.a_query, asg)
+        ev_b1 = msm(False, dpk.b_g1_query, asg)
+        ev_b2 = msm(True, dpk.b_g2_query, asg)
+        ev_l = msm(False, dpk.l_query, asg[num_pub:])
+        ev_h = msm(False, dpk.h_query, h_scalars)
 
         ev_a_h = msm_tpu.unpack_g1_point(self.curve_name, ev_a)
         ev_b1_h = msm_tpu.unpack_g1_point(self.curve_name, ev_b1)
