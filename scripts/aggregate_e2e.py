@@ -103,6 +103,29 @@ def main():
         assert wep.inputs[2 + i] == 7 + i
     print("[6] primary layout [vk_hash, results, inputs...] OK", flush=True)
 
+    # 6b. settle through the word-level dispatcher engine (the on-chain
+    # path of scripts/test-client, minus ganache): encode calldata, verify
+    # via the contract model, dispatch to the dummy application
+    from zecale_tpu.contracts import dispatcher as dp
+
+    vk_words = dp.vk_to_contract_parameters(wkp.vk)
+    eng = dp.DispatcherEngine(vk_words, batch_size=args.batch)
+    app = dp.DummyApplicationEngine(
+        eng, expected_vk_hash=circ.compute_nested_vk_hash(nkp.vk)
+    )
+    t0 = time.time()
+    ok = eng.process_batch(
+        dp.proof_to_contract_parameters(wep.proof),
+        dp.inputs_to_contract_parameters(wep.inputs),
+        [b"params%d" % i for i in range(args.batch)],
+        app,
+    )
+    assert ok, "dispatcher rejected the batch proof"
+    for i in range(args.batch):
+        assert app.get(7 + i) == b"params%d" % i
+    print(f"[6b] settlement via dispatcher engine OK ({time.time()-t0:.1f}s)",
+          flush=True)
+
     if not args.skip_negative:
         # 7. corrupt one nested proof -> result bit 0, proof still valid
         bad = list(eps)

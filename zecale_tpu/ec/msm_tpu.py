@@ -191,3 +191,42 @@ def msm_g2_pippenger(curve_name: str, scalars, points, c: int = MSM_WINDOW_C):
         digits, pack_g2_points(curve_name, points)
     )
     return unpack_g2_point(curve_name, acc)
+
+
+def unpack_g1_points_batch(curve_name: str, pts_dev) -> list:
+    """Batched device->host affine conversion (ONE device transfer per
+    coordinate; per-point device slicing costs a tunnel round-trip each on
+    the remote-TPU backend)."""
+    F = fp_jax.field(P.CURVES[curve_name].q)
+    xs = F.unpack(pts_dev["x"])
+    ys = F.unpack(pts_dev["y"])
+    zs = F.unpack(pts_dev["z"])
+    fq = hc.g1_curve(curve_name).F
+    out = []
+    for x, y, z in zip(xs, ys, zs):
+        if z == 0:
+            out.append(None)
+            continue
+        zinv = fq.inv(z)
+        zinv2 = fq.sqr(zinv)
+        out.append((fq.mul(x, zinv2), fq.mul(y, fq.mul(zinv2, zinv))))
+    return out
+
+
+def unpack_g2_points_batch(curve_name: str, pts_dev) -> list:
+    if curve_name in ("bw6-761", "mnt6-298"):
+        return unpack_g1_points_batch(curve_name, pts_dev)
+    F2 = fp2_jax.bls12_377_fq2()
+    xs = F2.unpack(pts_dev["x"])
+    ys = F2.unpack(pts_dev["y"])
+    zs = F2.unpack(pts_dev["z"])
+    fq2 = hc.g2_curve(curve_name).F
+    out = []
+    for x, y, z in zip(xs, ys, zs):
+        if fq2.is_zero(z):
+            out.append(None)
+            continue
+        zinv = fq2.inv(z)
+        zinv2 = fq2.sqr(zinv)
+        out.append((fq2.mul(x, zinv2), fq2.mul(y, fq2.mul(zinv2, zinv))))
+    return out

@@ -143,24 +143,14 @@ class Groth16TPU:
         acc = self._batch_scalar_mul(
             False, msm_tpu.pack_g1_points, scalars, base
         )
-        return [
-            msm_tpu.unpack_g1_point(
-                self.curve_name, {k: v[i] for k, v in acc.items()}
-            )
-            for i in range(len(scalars))
-        ]
+        return msm_tpu.unpack_g1_points_batch(self.curve_name, acc)
 
     def batch_mul_g2(self, scalars, base=None):
         base = base or hc.generators(self.curve_name)[1]
         acc = self._batch_scalar_mul(
             True, msm_tpu.pack_g2_points, scalars, base
         )
-        return [
-            msm_tpu.unpack_g2_point(
-                self.curve_name, {k: v[i] for k, v in acc.items()}
-            )
-            for i in range(len(scalars))
-        ]
+        return msm_tpu.unpack_g2_points_batch(self.curve_name, acc)
 
     # ------------------------------------------------------------------
     # trusted setup
