@@ -22,6 +22,9 @@ from .protoboard import LC, Protoboard
 
 GElem = Any  # LC | tuple of GElem
 
+# global Frobenius-matrix cache: (host field id, prime, degree) -> {power: cols}
+_FROB_CACHE: dict = {}
+
 
 class GadgetFp:
     """The circuit-native scalar field as the bottom of the gadget tower."""
@@ -239,19 +242,51 @@ class GadgetExt:
         return self.from_lcs(lcs)
 
     # -- Frobenius (free linear map) ----------------------------------------
-    @functools.lru_cache(maxsize=None)
     def _frobenius_matrix(self, power: int):
-        """Columns of x -> x^(q^power) over the flattened basis (host ints)."""
-        host = self.host
+        """Columns of x -> x^(q^power) over the flattened basis (host ints).
+
+        The power-1 matrix is computed once per (host field, prime) by
+        exponentiation; higher powers compose that matrix with itself
+        (computing x^(q^k) directly needs multi-thousand-bit tower pows and
+        dominated circuit-build time before this cache).
+        """
         q = self._bottom_prime()
+        key = (id(self.host), q, self.degree)
+        cache = _FROB_CACHE.setdefault(key, {})
+        if power in cache:
+            return cache[power]
+        host = self.host
         n = self.degree
-        cols = []
-        for j in range(n):
-            basis = [0] * n
-            basis[j] = 1
-            img = host.pow(host.from_list(basis), q**power)
-            cols.append(host.to_list(img))
-        return cols
+        if 1 not in cache:
+            cols = []
+            for j in range(n):
+                basis = [0] * n
+                basis[j] = 1
+                img = host.pow(host.from_list(basis), q)
+                cols.append(host.to_list(img))
+            cache[1] = cols
+        m1 = cache[1]
+        k = max(kk for kk in cache if kk <= power)
+        mk = cache[k]
+        p_mod = q
+        while k < power:
+            # compose: M_{k+1}[j] = M1 applied to column j of M_k
+            nxt = []
+            for j in range(n):
+                col = mk[j]
+                out = [0] * n
+                for src_i, coeff in enumerate(col):
+                    if coeff:
+                        for dst_i, m1c in enumerate(m1[src_i]):
+                            if m1c:
+                                out[dst_i] = (
+                                    out[dst_i] + coeff * m1c
+                                ) % p_mod
+                nxt.append(out)
+            mk = nxt
+            k += 1
+            cache[k] = mk
+        return cache[power]
 
     def _bottom_prime(self) -> int:
         f = self.host
