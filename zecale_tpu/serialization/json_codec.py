@@ -144,3 +144,90 @@ def extended_proof_from_json(curve_name: str, j: dict):
         proof=groth16_proof_from_json(curve_name, j["proof"]),
         inputs=[hex_to_int(v) for v in j["inputs"]],
     )
+
+
+# ---------------------------------------------------------------------------
+# PGHR13 proof / keys (zeth pghr13 JSON naming)
+# ---------------------------------------------------------------------------
+
+
+def pghr13_proof_to_json(curve_name: str, proof) -> dict:
+    return {
+        "a": g1_to_json(curve_name, proof.a),
+        "a_p": g1_to_json(curve_name, proof.a_p),
+        "b": g2_to_json(curve_name, proof.b),
+        "b_p": g1_to_json(curve_name, proof.b_p),
+        "c": g1_to_json(curve_name, proof.c),
+        "c_p": g1_to_json(curve_name, proof.c_p),
+        "h": g1_to_json(curve_name, proof.h),
+        "k": g1_to_json(curve_name, proof.k),
+    }
+
+
+def pghr13_proof_from_json(curve_name: str, j: dict):
+    from ..snark.pghr13 import Pghr13Proof
+
+    return Pghr13Proof(
+        a=g1_from_json(curve_name, j["a"]),
+        a_p=g1_from_json(curve_name, j["a_p"]),
+        b=g2_from_json(curve_name, j["b"]),
+        b_p=g1_from_json(curve_name, j["b_p"]),
+        c=g1_from_json(curve_name, j["c"]),
+        c_p=g1_from_json(curve_name, j["c_p"]),
+        h=g1_from_json(curve_name, j["h"]),
+        k=g1_from_json(curve_name, j["k"]),
+    )
+
+
+def pghr13_vk_to_json(curve_name: str, vk) -> dict:
+    return {
+        "a": g2_to_json(curve_name, vk.a),
+        "b": g1_to_json(curve_name, vk.b),
+        "c": g2_to_json(curve_name, vk.c),
+        "g": g2_to_json(curve_name, vk.g),
+        "gb1": g1_to_json(curve_name, vk.gb1),
+        "gb2": g2_to_json(curve_name, vk.gb2),
+        "z": g2_to_json(curve_name, vk.z),
+        "IC": [g1_to_json(curve_name, p) for p in vk.ic],
+    }
+
+
+def pghr13_vk_from_json(curve_name: str, j: dict):
+    from ..snark.pghr13 import Pghr13VerificationKey
+
+    return Pghr13VerificationKey(
+        a=g2_from_json(curve_name, j["a"]),
+        b=g1_from_json(curve_name, j["b"]),
+        c=g2_from_json(curve_name, j["c"]),
+        g=g2_from_json(curve_name, j["g"]),
+        gb1=g1_from_json(curve_name, j["gb1"]),
+        gb2=g2_from_json(curve_name, j["gb2"]),
+        z=g2_from_json(curve_name, j["z"]),
+        ic=[g1_from_json(curve_name, p) for p in j["IC"]],
+    )
+
+
+# ---------------------------------------------------------------------------
+# snark provider registry (reference analog: zeth IZKSnarkProvider naming,
+# aggregator_config.py:11-47 resolves providers by name)
+# ---------------------------------------------------------------------------
+
+
+def snark_codec(snark_name: str):
+    """(proof_to, proof_from, vk_to, vk_from) for GROTH16 / PGHR13."""
+    name = snark_name.upper()
+    if name == "GROTH16":
+        return (
+            groth16_proof_to_json,
+            groth16_proof_from_json,
+            groth16_vk_to_json,
+            groth16_vk_from_json,
+        )
+    if name == "PGHR13":
+        return (
+            pghr13_proof_to_json,
+            pghr13_proof_from_json,
+            pghr13_vk_to_json,
+            pghr13_vk_from_json,
+        )
+    raise KeyError(snark_name)
