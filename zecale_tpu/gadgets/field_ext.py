@@ -179,6 +179,18 @@ class GadgetExt:
         return self.base.mul_constant(x, self.nr_host)
 
     def sqr(self, a):
+        B = self.base
+        if self.k == 2:
+            # complex squaring: 2 base muls instead of 3
+            a0, a1 = a
+            t1 = B.mul(a0, a1)
+            t0 = B.mul(
+                B.add(a0, a1), B.add(a0, self._mul_nr_base(a1))
+            )
+            nr_t1 = self._mul_nr_base(t1)
+            c0 = B.sub(B.sub(t0, t1), nr_t1)
+            c1 = B.add(t1, t1)
+            return (c0, c1)
         return self.mul(a, a)
 
     def mul_base(self, a, s):
