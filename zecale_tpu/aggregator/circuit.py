@@ -46,7 +46,12 @@ class AggregatorCircuit:
         num_inputs_per_nested_proof: int,
         num_proofs: int,
         wrapper_curve: str = "bw6-761",
+        hash_nested_vk: bool = True,
     ):
+        """``hash_nested_vk=False`` replaces the MiMC vk-hash binding with a
+        null hash (digest 0), like the reference's development-time
+        null_hash_gadget (null_hash_gadget.hpp:11-14) -- the batch1.json
+        golden vectors were produced in that mode."""
         assert num_inputs_per_nested_proof >= 1
         assert num_proofs >= 1
         nested, wrapper = P.CURVE_PAIRS[wrapper_curve]
@@ -75,7 +80,12 @@ class AggregatorCircuit:
         ]
 
         # vk hash binds the witnessed vk to the primary input
-        digest = vkh.vk_hash_gadget(pb, self._vk_var)
+        self.hash_nested_vk = hash_nested_vk
+        digest = (
+            vkh.vk_hash_gadget(pb, self._vk_var)
+            if hash_nested_vk
+            else LC()  # null hash: digest fixed to 0
+        )
         pb.enforce_equal(digest, LC.of_var(self._vk_hash_var))
         self._hook_assign_primary(self._vk_hash_var, digest)
 
@@ -181,6 +191,8 @@ class AggregatorCircuit:
 
     # ------------------------------------------------------------------
     def compute_nested_vk_hash(self, nested_vk: Groth16VerificationKey) -> int:
+        if not getattr(self, "hash_nested_vk", True):
+            return 0
         return vkh.compute_vk_hash(
             self.NESTED_CURVE, nested_vk, P.CURVES[self.WRAPPER_CURVE].r
         )
