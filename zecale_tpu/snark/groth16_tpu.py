@@ -129,14 +129,36 @@ class Groth16TPU:
     # ------------------------------------------------------------------
     # batched fixed-base scalar multiplication (for setup)
     # ------------------------------------------------------------------
+    #: lanes per fixed-base-multiply chunk: bounds the (chunk, L, L)
+    #: convolution intermediates to ~150 MB so large setups cannot OOM.
+    BATCH_MUL_CHUNK = 16384
+
     def _batch_scalar_mul(self, g2: bool, pack_pt, scalars: Sequence[int], base):
-        """[k_i] * base for all i, on device."""
+        """[k_i] * base for all i, on device (chunked)."""
         n = len(scalars)
-        bits = msm_tpu.scalar_bit_planes(
-            [s % self.r for s in scalars], self.r.bit_length()
-        )
-        base_batch = pack_pt(self.curve_name, [base] * n)
-        return msm_tpu.batch_mul_jit(self.curve_name, g2)(bits, base_batch)
+        chunk = self.BATCH_MUL_CHUNK
+        fn = msm_tpu.batch_mul_jit(self.curve_name, g2)
+        outs = []
+        for off in range(0, n, chunk):
+            part = [s % self.r for s in scalars[off : off + chunk]]
+            pad = 0
+            if len(part) < chunk and n > chunk:
+                # keep one compiled shape across chunks
+                pad = chunk - len(part)
+                part = part + [0] * pad
+            bits = msm_tpu.scalar_bit_planes(part, self.r.bit_length())
+            base_batch = pack_pt(self.curve_name, [base] * len(part))
+            acc = fn(bits, base_batch)
+            if pad:
+                acc = {k: v[: chunk - pad] for k, v in acc.items()}
+            outs.append(acc)
+        if len(outs) == 1:
+            return outs[0]
+        import jax.numpy as _jnp
+
+        return {
+            k: _jnp.concatenate([o[k] for o in outs], axis=0) for k in outs[0]
+        }
 
     def batch_mul_g1(self, scalars, base=None):
         base = base or hc.generators(self.curve_name)[0]
