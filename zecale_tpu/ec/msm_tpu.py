@@ -92,14 +92,22 @@ def unpack_g2_point(curve_name: str, pt_dev) -> Optional[tuple]:
     return (fq2.mul(x, zinv2), fq2.mul(y, fq2.mul(zinv2, zinv)))
 
 
+def _scalars_to_bytes(scalars: Sequence[int], num_bits: int) -> np.ndarray:
+    nbytes = -(-num_bits // 8)
+    buf = bytearray()
+    for s in scalars:
+        buf += int(s).to_bytes(nbytes, "big")
+    return np.frombuffer(bytes(buf), dtype=np.uint8).reshape(
+        len(scalars), nbytes
+    )
+
+
 def scalar_bit_planes(scalars: Sequence[int], num_bits: int) -> jnp.ndarray:
-    """(num_bits, N) int32, MSB first."""
-    N = len(scalars)
-    out = np.zeros((num_bits, N), dtype=np.int32)
-    for i, s in enumerate(scalars):
-        for b in range(num_bits):
-            out[num_bits - 1 - b, i] = (s >> b) & 1
-    return jnp.asarray(out)
+    """(num_bits, N) int32, MSB first (vectorized via unpackbits)."""
+    b = _scalars_to_bytes(scalars, num_bits)
+    bits = np.unpackbits(b, axis=1)  # MSB-first per scalar
+    bits = bits[:, bits.shape[1] - num_bits :]
+    return jnp.asarray(bits.T.astype(np.int32))
 
 
 # ---------------------------------------------------------------------------
@@ -126,16 +134,15 @@ def msm_g2(curve_name: str, scalars: Sequence[int], points: Sequence):
 def scalar_digit_planes(
     scalars: Sequence[int], num_bits: int, c: int
 ) -> jnp.ndarray:
-    """(num_windows, N) int32 c-bit digits, most significant window first."""
+    """(num_windows, N) int32 c-bit digits, most significant window first
+    (vectorized: bit planes regrouped into c-bit windows)."""
     num_windows = -(-num_bits // c)
-    N = len(scalars)
-    out = np.zeros((num_windows, N), dtype=np.int32)
-    mask = (1 << c) - 1
-    for i, s in enumerate(scalars):
-        for w in range(num_windows):
-            shift = c * (num_windows - 1 - w)
-            out[w, i] = (s >> shift) & mask
-    return jnp.asarray(out)
+    b = _scalars_to_bytes(scalars, num_windows * c)
+    bits = np.unpackbits(b, axis=1)[:, b.shape[1] * 8 - num_windows * c :]
+    w = bits.reshape(len(scalars), num_windows, c)
+    weights = (1 << np.arange(c - 1, -1, -1)).astype(np.int32)
+    digits = (w * weights).sum(axis=2).astype(np.int32)
+    return jnp.asarray(digits.T)
 
 
 MSM_WINDOW_C = 8
