@@ -65,3 +65,25 @@ def test_input_count_validation():
     circ.num_inputs = 1
     with pytest.raises(ValueError):
         AggregatorCircuit.generate_witness(circ, None, [])
+
+
+@pytest.mark.slow
+def test_batch8_rollup_config():
+    """The batch-8 zk-zk-rollup configuration (BASELINE.json configs[2]) at
+    witness level: 8 nested proofs, one corrupted -> results 0b11110111."""
+    circ = AggregatorCircuit(1, 8)
+    rng = random.Random(5)
+    _, nkp = da.dummy_app_setup("bls12-377", rng)
+    eps = [da.dummy_app_prove("bls12-377", nkp, 7 + i, rng) for i in range(8)]
+    eps[3] = ExtendedProof(proof=eps[3].proof, inputs=[999])
+    w = circ.generate_witness(nkp.vk, eps)
+    from zecale_tpu.native.witness import NativeR1CS
+
+    nat = NativeR1CS(circ.r1cs)
+    bad = (
+        nat.first_failing_constraint(w)
+        if nat.available
+        else circ.r1cs.first_failing_constraint(w)
+    )
+    assert bad is None
+    assert w[2] == 0b11110111

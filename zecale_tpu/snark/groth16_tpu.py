@@ -139,7 +139,16 @@ class Groth16TPU:
         chunk = self.BATCH_MUL_CHUNK
         fn = msm_tpu.batch_mul_jit(self.curve_name, g2)
         outs = []
+        import logging as _logging
+
+        _log = _logging.getLogger("zecale.setup")
         for off in range(0, n, chunk):
+            _log.info(
+                "fixed-base chunk %d/%d (%s)",
+                off // chunk + 1,
+                -(-n // chunk),
+                "G2" if g2 else "G1",
+            )
             part = [s % self.r for s in scalars[off : off + chunk]]
             pad = 0
             if len(part) < chunk and n > chunk:
