@@ -1,0 +1,70 @@
+"""Nested-PGHR13 aggregation (reference pghr13_verifier_parameters /
+aggregator_dummy_test.cpp MNT PGHR13 combo) and the PGHR13-wrapper snark
+option (ZECALE_SNARK=PGHR13)."""
+
+import random
+
+import pytest
+
+from zecale_tpu.aggregator import dummy_app as da
+from zecale_tpu.aggregator.circuit import AggregatorCircuit
+from zecale_tpu.snark.groth16 import ExtendedProof
+from zecale_tpu.snark.pghr13 import Pghr13
+
+
+@pytest.mark.slow
+def test_nested_pghr13_mnt_wrapper_witness():
+    """MNT4-298 PGHR13 proofs verified in-circuit inside the MNT6-298
+    wrapper (reference combo: aggregator_dummy_test.cpp:225-228, which
+    notes libsnark's nested-PGHR13 gadgets are MNT-only)."""
+    circ = AggregatorCircuit(
+        1, 1, wrapper_curve="mnt6-298", nested_snark="PGHR13"
+    )
+    rng = random.Random(31)
+    _, nkp = da.dummy_app_setup("mnt4-298", rng, snark="PGHR13")
+    ep = da.dummy_app_prove("mnt4-298", nkp, 7, rng, snark="PGHR13")
+    # host-level sanity: the nested proof verifies out of circuit
+    assert Pghr13("mnt4-298").verify(ep.inputs, ep.proof, nkp.vk)
+
+    w = circ.generate_witness(nkp.vk, [ep])
+    assert circ.r1cs.first_failing_constraint(w) is None
+    assert w[1] == circ.compute_nested_vk_hash(nkp.vk)
+    assert w[2] == 1  # valid proof -> result bit 1
+    assert w[3] == 7
+
+    # corrupt input -> result bit 0, witness still satisfiable
+    # (aggregator_dummy_test.cpp:141-187 negative-test semantics)
+    bad = ExtendedProof(proof=ep.proof, inputs=[8])
+    w2 = circ.generate_witness(nkp.vk, [bad])
+    assert circ.r1cs.first_failing_constraint(w2) is None
+    assert w2[2] == 0
+
+
+@pytest.mark.slow
+def test_nested_pghr13_batch2_result_bits():
+    """Batch of 2 with one corrupted proof: packed_results == 0b01."""
+    circ = AggregatorCircuit(
+        1, 2, wrapper_curve="mnt6-298", nested_snark="PGHR13"
+    )
+    rng = random.Random(7)
+    _, nkp = da.dummy_app_setup("mnt4-298", rng, snark="PGHR13")
+    ep1 = da.dummy_app_prove("mnt4-298", nkp, 11, rng, snark="PGHR13")
+    ep2 = da.dummy_app_prove("mnt4-298", nkp, 12, rng, snark="PGHR13")
+    bad2 = ExtendedProof(proof=ep2.proof, inputs=[13])
+    w = circ.generate_witness(nkp.vk, [ep1, bad2])
+    assert circ.r1cs.first_failing_constraint(w) is None
+    assert w[2] == 0b01  # LO bit = proof 0 valid, proof 1 invalid
+    assert (w[3], w[4]) == (11, 13)
+
+
+def test_wrapper_snark_selection():
+    """wrapper_snark='PGHR13' builds the same circuit but swaps the wrapping
+    snark backend (reference ZECALE_SNARK option, CMakeLists.txt:31-57)."""
+    g16 = AggregatorCircuit(1, 1, wrapper_curve="mnt6-298",
+                            hash_nested_vk=False)
+    p13 = AggregatorCircuit(1, 1, wrapper_curve="mnt6-298",
+                            hash_nested_vk=False, wrapper_snark="PGHR13")
+    # identical R1CS: the snark choice does not change the relation
+    assert p13.r1cs.num_constraints == g16.r1cs.num_constraints
+    assert isinstance(p13.wsnark, Pghr13)
+    assert p13.wsnark.name == "PGHR13"

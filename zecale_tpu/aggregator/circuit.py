@@ -47,11 +47,19 @@ class AggregatorCircuit:
         num_proofs: int,
         wrapper_curve: str = "bw6-761",
         hash_nested_vk: bool = True,
+        nested_snark: str = "GROTH16",
+        wrapper_snark: str = "GROTH16",
     ):
         """``hash_nested_vk=False`` replaces the MiMC vk-hash binding with a
         null hash (digest 0), like the reference's development-time
         null_hash_gadget (null_hash_gadget.hpp:11-14) -- the batch1.json
-        golden vectors were produced in that mode."""
+        golden vectors were produced in that mode.
+
+        ``nested_snark`` selects the in-circuit verifier family (reference
+        nverifierT trait: groth16_verifier_parameters /
+        pghr13_verifier_parameters); ``wrapper_snark`` selects the snark the
+        wrapping proof itself is produced with (reference wsnarkT,
+        ZECALE_SNARK CMake option)."""
         assert num_inputs_per_nested_proof >= 1
         assert num_proofs >= 1
         nested, wrapper = P.CURVE_PAIRS[wrapper_curve]
@@ -59,6 +67,8 @@ class AggregatorCircuit:
         self.NESTED_CURVE = nested
         self.num_inputs = num_inputs_per_nested_proof
         self.num_proofs = num_proofs
+        self.nested_snark = nested_snark.upper()
+        self.wrapper_snark = wrapper_snark.upper()
 
         pb = Protoboard(P.CURVES[wrapper].r)
         self.pb = pb
@@ -73,7 +83,14 @@ class AggregatorCircuit:
         pb.seal_primary()
 
         # --- verifier machinery ---------------------------------------
-        self.verifier = Groth16VerifierGadget(pb, self.NESTED_CURVE)
+        if self.nested_snark == "GROTH16":
+            self.verifier = Groth16VerifierGadget(pb, self.NESTED_CURVE)
+        elif self.nested_snark == "PGHR13":
+            from ..gadgets.pghr13_verifier import Pghr13VerifierGadget
+
+            self.verifier = Pghr13VerifierGadget(pb, self.NESTED_CURVE)
+        else:
+            raise KeyError(f"unknown nested snark: {nested_snark}")
         self._vk_var = self.verifier.alloc_vk(num_inputs_per_nested_proof)
         self._proof_vars = [
             self.verifier.alloc_proof() for _ in range(num_proofs)
@@ -104,7 +121,14 @@ class AggregatorCircuit:
         self._hook_assign_primary(self._results_var, packed)
 
         self.r1cs = pb.to_r1cs()
-        self.wsnark = Groth16(self.WRAPPER_CURVE)
+        if self.wrapper_snark == "GROTH16":
+            self.wsnark = Groth16(self.WRAPPER_CURVE)
+        elif self.wrapper_snark == "PGHR13":
+            from ..snark.pghr13 import Pghr13
+
+            self.wsnark = Pghr13(self.WRAPPER_CURVE)
+        else:
+            raise KeyError(f"unknown wrapper snark: {wrapper_snark}")
 
 
     def _hook_assign_primary(self, var_idx: int, lc: LC) -> None:
@@ -150,7 +174,7 @@ class AggregatorCircuit:
                 raise ValueError(
                     "nested proof has wrong number of primary inputs"
                 )
-        if len(nested_vk.abc) != self.num_inputs + 1:
+        if not self.verifier.check_vk_shape(nested_vk, self.num_inputs):
             raise ValueError("nested vk shape does not match input count")
 
         def extra(w):

@@ -31,12 +31,24 @@ def dummy_app_assignment(curve_name: str, a: int) -> List[int]:
     return [1, a, pow(a, r - 2, r)]
 
 
+def _snark_backend(curve_name: str, snark: str):
+    if snark.upper() == "GROTH16":
+        return Groth16(curve_name)
+    if snark.upper() == "PGHR13":
+        from ..snark.pghr13 import Pghr13
+
+        return Pghr13(curve_name)
+    raise KeyError(f"unknown snark: {snark}")
+
+
 def dummy_app_setup(
-    curve_name: str, rng: Optional[random.Random] = None
+    curve_name: str,
+    rng: Optional[random.Random] = None,
+    snark: str = "GROTH16",
 ) -> Tuple[R1CS, Groth16KeyPair]:
     r1cs = dummy_app_r1cs(curve_name)
-    snark = Groth16(curve_name)
-    return r1cs, snark.generate_setup(r1cs, rng)
+    backend = _snark_backend(curve_name, snark)
+    return r1cs, backend.generate_setup(r1cs, rng)
 
 
 def dummy_app_prove(
@@ -44,10 +56,11 @@ def dummy_app_prove(
     keypair: Groth16KeyPair,
     a: int,
     rng: Optional[random.Random] = None,
+    snark: str = "GROTH16",
 ) -> ExtendedProof:
     r1cs = dummy_app_r1cs(curve_name)
-    snark = Groth16(curve_name)
+    backend = _snark_backend(curve_name, snark)
     assignment = dummy_app_assignment(curve_name, a)
     assert r1cs.is_satisfied(assignment)
-    proof = snark.prove(r1cs, keypair.pk, assignment, rng)
+    proof = backend.prove(r1cs, keypair.pk, assignment, rng)
     return ExtendedProof(proof=proof, inputs=[a % P.CURVES[curve_name].r])

@@ -41,6 +41,15 @@ class VkVariable:
     delta: tuple  # G2
     abc: List[tuple]  # G1 list
 
+    def points(self) -> List[tuple]:
+        """Hash/coordinate order (documented contract, see vk_hash.py)."""
+        return [self.alpha, self.beta, self.delta, *self.abc]
+
+
+def groth16_vk_host_points(host_vk) -> List[object]:
+    """Host-side points in the same order as VkVariable.points()."""
+    return [host_vk.alpha, host_vk.beta, host_vk.delta, *host_vk.abc]
+
 
 @dataclasses.dataclass
 class ProofVariable:
@@ -61,6 +70,8 @@ class Groth16VerifierGadget:
     """Nested Groth16 verification arithmetized over the wrapper scalar
     field.  Supports both curve pairs (BLS12-377 inside BW6-761 and
     MNT4-298 inside MNT6-298, reference ZECALE_CURVE options)."""
+
+    snark_name = "GROTH16"
 
     def __init__(self, pb: Protoboard, nested_curve: str = "bls12-377"):
         self.NESTED_CURVE = nested_curve
@@ -106,6 +117,9 @@ class Groth16VerifierGadget:
             delta=g2a(),
             abc=[g1a() for _ in range(num_inputs + 1)],
         )
+
+    def check_vk_shape(self, host_vk, num_inputs: int) -> bool:
+        return len(host_vk.abc) == num_inputs + 1
 
     def set_vk_witness(self, w, vkvar: VkVariable, host_vk) -> None:
         self.g1_gadget.set_point_witness(w, vkvar.alpha, host_vk.alpha)

@@ -21,7 +21,6 @@ from typing import List
 
 from ..ff import host_field as hf
 from . import mimc
-from .groth16_verifier import VkVariable
 from .protoboard import LC, Protoboard
 
 
@@ -47,17 +46,17 @@ def _flatten_point_lcs(gadget_field_point) -> List[LC]:
     return out
 
 
-def vk_coordinate_lcs(vkvar: VkVariable) -> List[LC]:
+def vk_coordinate_lcs(vkvar) -> List[LC]:
+    """Flatten any vk-variable's points (its ``points()`` order contract;
+    Groth16: alpha, beta, delta, abc...; PGHR13: a, b, c, g, gb1, gb2, z,
+    ic... -- see the VkVariable dataclasses)."""
     lcs: List[LC] = []
-    lcs.extend(_flatten_point_lcs(vkvar.alpha))
-    lcs.extend(_flatten_point_lcs(vkvar.beta))
-    lcs.extend(_flatten_point_lcs(vkvar.delta))
-    for pt in vkvar.abc:
+    for pt in vkvar.points():
         lcs.extend(_flatten_point_lcs(pt))
     return lcs
 
 
-def vk_hash_gadget(pb: Protoboard, vkvar: VkVariable) -> LC:
+def vk_hash_gadget(pb: Protoboard, vkvar) -> LC:
     """In-circuit MiMC digest of the vk coordinates."""
     return mimc.mimc_hash_inputs_gadget(pb, vk_coordinate_lcs(vkvar))
 
@@ -68,15 +67,20 @@ def _flatten_host_coord(coord, ext_field) -> List[int]:
     return ext_field.to_list(coord)
 
 
+def _host_vk_points(host_vk) -> List[object]:
+    """Ordered host points for either snark's vk (mirrors points())."""
+    if hasattr(host_vk, "abc"):  # Groth16
+        return [host_vk.alpha, host_vk.beta, host_vk.delta, *host_vk.abc]
+    # PGHR13 (zeth naming)
+    return [host_vk.a, host_vk.b, host_vk.c, host_vk.g, host_vk.gb1,
+            host_vk.gb2, host_vk.z, *host_vk.ic]
+
+
 def compute_vk_hash(nested_curve: str, host_vk, wrapper_r: int) -> int:
     """Out-of-circuit digest equal to the gadget's value (reference analog:
     verification_key_hash_gadget::compute_hash, tcc:42-59)."""
     fg2 = hf.towers(nested_curve)["fg2"]
     vals: List[int] = []
-    for pt in (host_vk.alpha,):
-        vals += _flatten_host_coord(pt[0], fg2) + _flatten_host_coord(pt[1], fg2)
-    for pt in (host_vk.beta, host_vk.delta):
-        vals += _flatten_host_coord(pt[0], fg2) + _flatten_host_coord(pt[1], fg2)
-    for pt in host_vk.abc:
+    for pt in _host_vk_points(host_vk):
         vals += _flatten_host_coord(pt[0], fg2) + _flatten_host_coord(pt[1], fg2)
     return mimc.mimc_hash_inputs(vals, wrapper_r)
