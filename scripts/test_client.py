@@ -88,13 +88,12 @@ def main() -> int:
     print(f"working dirs under {work}")
 
     # --- operator: start the server ------------------------------------
-    svc = AggregatorService.__new__(AggregatorService)
-    svc.circuit = WitnessLevelCircuit(1, args.batch)
-    svc.keypair = StubKeypair()
-    svc.nested_curve = "bls12-377"
-    svc.wrapper_curve = "bw6-761"
-    svc.prover = None
-    svc.pools = {}
+    svc = AggregatorService(
+        WitnessLevelCircuit(1, args.batch),
+        StubKeypair(),
+        nested_curve="bls12-377",
+        wrapper_curve="bw6-761",
+    )
     server = grpc_server.serve(svc, bind=BIND, block=False)
     print("[operator] server up")
 

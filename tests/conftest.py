@@ -22,6 +22,13 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import pytest
 
+# Persistent XLA compilation cache: the limb-arithmetic kernels (especially
+# the Fp2 G2 scan bodies) take minutes to compile on the CPU backend; cache
+# them across test processes.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_zecale")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
 
 def pytest_addoption(parser):
     parser.addoption(

@@ -154,3 +154,24 @@ def test_groth16_tpu_prove_verify_dummy_app():
     host = Groth16(curve)
     assert host.verify([7], proof, kp.vk)
     assert not host.verify([8], proof, kp.vk)
+
+
+@pytest.mark.slow
+def test_pghr13_tpu_prove_verify_dummy_app():
+    """Full TPU-path PGHR13 (setup + prove) on the dummy app circuit,
+    verified by the exact host verifier (mirrors the Groth16 test above;
+    reference capability: ZECALE_SNARK=PGHR13 builds)."""
+    from zecale_tpu.aggregator import dummy_app as da
+    from zecale_tpu.snark.pghr13 import Pghr13
+    from zecale_tpu.snark.pghr13_tpu import Pghr13TPU
+
+    curve = "bls12-377"
+    r1cs = da.dummy_app_r1cs(curve)
+    tpu = Pghr13TPU(curve)
+    kp = tpu.generate_setup(r1cs, random.Random(31))
+    asg = da.dummy_app_assignment(curve, 9)
+    assert r1cs.is_satisfied(asg)
+    proof = tpu.prove(r1cs, kp.pk, asg, random.Random(32))
+    host = Pghr13(curve)
+    assert host.verify([9], proof, kp.vk)
+    assert not host.verify([10], proof, kp.vk)

@@ -63,6 +63,24 @@ def main(argv=None) -> int:
         "--r1cs", default=None, help="dump the wrapper R1CS to this JSON path"
     )
     ap.add_argument("--prover", choices=["host", "tpu"], default="tpu")
+    ap.add_argument(
+        "--snark",
+        choices=["GROTH16", "PGHR13"],
+        default="GROTH16",
+        help="wrapper snark (reference ZECALE_SNARK CMake option)",
+    )
+    ap.add_argument(
+        "--nested-snark",
+        choices=["GROTH16", "PGHR13"],
+        default="GROTH16",
+        help="in-circuit nested verifier family (nverifierT trait)",
+    )
+    ap.add_argument(
+        "--curve",
+        choices=["bw6-761", "mnt6-298"],
+        default="bw6-761",
+        help="wrapper curve (reference ZECALE_CURVE CMake option)",
+    )
     args = ap.parse_args(argv)
 
     from ..aggregator.circuit import AggregatorCircuit
@@ -75,7 +93,13 @@ def main(argv=None) -> int:
         args.inputs_per_proof,
     )
     t0 = time.time()
-    circuit = AggregatorCircuit(args.inputs_per_proof, args.batch_size)
+    circuit = AggregatorCircuit(
+        args.inputs_per_proof,
+        args.batch_size,
+        wrapper_curve=args.curve,
+        nested_snark=args.nested_snark,
+        wrapper_snark=args.snark,
+    )
     logging.info(
         "circuit ready in %.1fs: %d constraints",
         time.time() - t0,
@@ -84,9 +108,14 @@ def main(argv=None) -> int:
 
     prover = None
     if args.prover == "tpu":
-        from ..snark.groth16_tpu import Groth16TPU
+        if args.snark == "GROTH16":
+            from ..snark.groth16_tpu import Groth16TPU
 
-        prover = Groth16TPU("bw6-761")
+            prover = Groth16TPU(args.curve)
+        else:
+            from ..snark.pghr13_tpu import Pghr13TPU
+
+            prover = Pghr13TPU(args.curve)
 
     if args.r1cs:
         rows, = ({"constraints": circuit.r1cs.num_constraints},)

@@ -34,8 +34,8 @@ class AggregatorService:
         self,
         circuit,
         wrapper_keypair,
-        nested_curve: str = "bls12-377",
-        wrapper_curve: str = "bw6-761",
+        nested_curve: Optional[str] = None,
+        wrapper_curve: Optional[str] = None,
         prover=None,
     ):
         """``circuit`` must expose num_proofs, num_inputs, prove(),
@@ -44,8 +44,14 @@ class AggregatorService:
         prover); None uses the circuit's default."""
         self.circuit = circuit
         self.keypair = wrapper_keypair
-        self.nested_curve = nested_curve
-        self.wrapper_curve = wrapper_curve
+        self.nested_curve = nested_curve or getattr(
+            circuit, "NESTED_CURVE", "bls12-377"
+        )
+        self.wrapper_curve = wrapper_curve or getattr(
+            circuit, "WRAPPER_CURVE", "bw6-761"
+        )
+        self.nested_snark = getattr(circuit, "nested_snark", "GROTH16")
+        self.wrapper_snark = getattr(circuit, "wrapper_snark", "GROTH16")
         self.prover = prover
         self.pools: Dict[str, ApplicationPool] = {}
 
@@ -65,19 +71,24 @@ class AggregatorService:
             }
 
         return {
-            "nested_snark_name": "GROTH16",
-            "wrapper_snark_name": "GROTH16",
+            "nested_snark_name": self.nested_snark,
+            "wrapper_snark_name": self.wrapper_snark,
             "nested_pairing_parameters": pairing_params(self.nested_curve),
             "wrapper_pairing_parameters": pairing_params(self.wrapper_curve),
         }
 
     # -- GetVerificationKey --------------------------------------------------
     def get_verification_key(self) -> dict:
-        return jc.groth16_vk_to_json(self.wrapper_curve, self.keypair.vk)
+        _, _, vk_to, _ = jc.snark_codec(self.wrapper_snark)
+        return vk_to(self.wrapper_curve, self.keypair.vk)
+
+    def _nested_vk_from_json(self, vk_json: dict):
+        _, _, _, vk_from = jc.snark_codec(self.nested_snark)
+        return vk_from(self.nested_curve, vk_json)
 
     # -- GetNestedVerificationKeyHash ---------------------------------------
     def get_nested_verification_key_hash(self, vk_json: dict) -> str:
-        vk = jc.groth16_vk_from_json(self.nested_curve, vk_json)
+        vk = self._nested_vk_from_json(vk_json)
         h = self.circuit.compute_nested_vk_hash(vk)
         return jc.fr_to_json(self.wrapper_curve, h)
 
@@ -85,8 +96,9 @@ class AggregatorService:
     def register_application(self, name: str, vk_json: dict) -> str:
         if name in self.pools:
             raise ServiceError(f"application '{name}' already registered")
-        vk = jc.groth16_vk_from_json(self.nested_curve, vk_json)
-        if len(vk.abc) != self.circuit.num_inputs + 1:
+        vk = self._nested_vk_from_json(vk_json)
+        n_ic = len(vk.abc if self.nested_snark == "GROTH16" else vk.ic)
+        if n_ic != self.circuit.num_inputs + 1:
             raise ServiceError(
                 "vk shape does not match the aggregator input count"
             )
@@ -103,12 +115,20 @@ class AggregatorService:
 
         g1 = hc.g1_curve(self.nested_curve)
         g2 = hc.g2_curve(self.nested_curve)
-        ok = (
-            g1.is_on_curve(vk.alpha)
-            and g2.is_on_curve(vk.beta)
-            and g2.is_on_curve(vk.delta)
-            and all(g1.is_on_curve(p) for p in vk.abc)
-        )
+        if self.nested_snark == "GROTH16":
+            ok = (
+                g1.is_on_curve(vk.alpha)
+                and g2.is_on_curve(vk.beta)
+                and g2.is_on_curve(vk.delta)
+                and all(g1.is_on_curve(p) for p in vk.abc)
+            )
+        else:  # PGHR13: a,c,g,gb2,z in G2; b,gb1,IC in G1
+            ok = (
+                all(g2.is_on_curve(p) for p in (vk.a, vk.c, vk.g, vk.gb2, vk.z))
+                and g1.is_on_curve(vk.b)
+                and g1.is_on_curve(vk.gb1)
+                and all(g1.is_on_curve(p) for p in vk.ic)
+            )
         if not ok:
             raise ServiceError("vk contains points not on the curve")
 
@@ -118,7 +138,7 @@ class AggregatorService:
         if name not in self.pools:
             raise ServiceError(f"application '{name}' not registered")
         ep = jc.extended_proof_from_json(
-            self.nested_curve, tx_json["extended_proof"]
+            self.nested_curve, tx_json["extended_proof"], self.nested_snark
         )
         if len(ep.inputs) != self.circuit.num_inputs:
             raise ServiceError("wrong number of nested primary inputs")
@@ -142,11 +162,19 @@ class AggregatorService:
 
         g1 = hc.g1_curve(self.nested_curve)
         g2 = hc.g2_curve(self.nested_curve)
-        if not (
-            g1.is_on_curve(ep.proof.a)
-            and g2.is_on_curve(ep.proof.b)
-            and g1.is_on_curve(ep.proof.c)
-        ):
+        p = ep.proof
+        if self.nested_snark == "GROTH16":
+            ok = (
+                g1.is_on_curve(p.a)
+                and g2.is_on_curve(p.b)
+                and g1.is_on_curve(p.c)
+            )
+        else:  # PGHR13: b in G2, everything else in G1
+            ok = g2.is_on_curve(p.b) and all(
+                g1.is_on_curve(q)
+                for q in (p.a, p.a_p, p.b_p, p.c, p.c_p, p.h, p.k)
+            )
+        if not ok:
             raise ServiceError("proof contains points not on the curve")
 
     # -- GenerateAggregatedTransaction --------------------------------------
@@ -172,7 +200,7 @@ class AggregatorService:
         return {
             "app_name": agg.application_name,
             "ext_proof": jc.extended_proof_to_json(
-                self.wrapper_curve, agg.extended_proof
+                self.wrapper_curve, agg.extended_proof, self.wrapper_snark
             ),
             "nested_parameters": [
                 p.hex() for p in agg.nested_parameters

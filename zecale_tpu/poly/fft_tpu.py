@@ -195,3 +195,52 @@ def h_pipeline_jit(n: int, r: int):
         return inner(az, bz, cz, zinv, fplan, iplan, fscale, iscale)
 
     return call
+
+
+@_functools.lru_cache(maxsize=None)
+def qap_polys_pipeline_jit(n: int, r: int):
+    """Cached jitted pipeline: (az, bz, cz evals) -> (H, A, B) coefficient
+    arrays, all Montgomery (n, L).
+
+    Same QAP division as h_pipeline_jit, additionally returning the A(x)/B(x)
+    coefficient vectors the PGHR13 prover needs for its zero-knowledge shift
+    H'(x) = H(x) + d2 A(x) + d1 B(x) + d1 d2 Z(x) - d3
+    (zecale_tpu/snark/pghr13.py prove())."""
+    from ..utils.jit_utils import bound_jit
+
+    F = fp_jax.field(r)
+
+    def run(az, bz, cz, zinv, fplan, iplan, fscale, iscale):
+        a_c = fft(az, r, inverse=True, plan=iplan)
+        b_c = fft(bz, r, inverse=True, plan=iplan)
+        c_c = fft(cz, r, inverse=True, plan=iplan)
+        a_e = coset_fft(a_c, r, plan=fplan, scale=fscale)
+        b_e = coset_fft(b_c, r, plan=fplan, scale=fscale)
+        c_e = coset_fft(c_c, r, plan=fplan, scale=fscale)
+        h_e = F.mont_mul(
+            F.sub(F.mont_mul(a_e, b_e), c_e),
+            jnp.broadcast_to(zinv, a_e.shape),
+        )
+        return coset_ifft(h_e, r, plan=iplan, scale=iscale), a_c, b_c
+
+    inner = bound_jit([F], run)
+    fplan = plan_arrays(n, r, False)
+    iplan = plan_arrays(n, r, True)
+    fscale = coset_scale_array(n, r, False)
+    iscale = coset_scale_array(n, r, True)
+    from ..ff import limb as _lb
+    from ..poly.domain_host import domain as _dom
+    import numpy as _np
+
+    d = _dom(n, r)
+    mp = _lb.mont_params(r)
+    zinv = jnp.asarray(
+        _lb.to_limbs(
+            d.vanishing_on_coset_inverse() * mp.r_mod_p % r, F.L
+        ).astype(_np.int32)
+    )
+
+    def call(az, bz, cz):
+        return inner(az, bz, cz, zinv, fplan, iplan, fscale, iscale)
+
+    return call

@@ -130,18 +130,22 @@ def groth16_vk_from_json(curve_name: str, j: dict):
     )
 
 
-def extended_proof_to_json(curve_name: str, ext_proof) -> dict:
+def extended_proof_to_json(
+    curve_name: str, ext_proof, snark: str = "GROTH16"
+) -> dict:
+    proof_to, _, _, _ = snark_codec(snark)
     return {
-        "proof": groth16_proof_to_json(curve_name, ext_proof.proof),
+        "proof": proof_to(curve_name, ext_proof.proof),
         "inputs": [fr_to_json(curve_name, v) for v in ext_proof.inputs],
     }
 
 
-def extended_proof_from_json(curve_name: str, j: dict):
+def extended_proof_from_json(curve_name: str, j: dict, snark: str = "GROTH16"):
     from ..snark.groth16 import ExtendedProof
 
+    _, proof_from, _, _ = snark_codec(snark)
     return ExtendedProof(
-        proof=groth16_proof_from_json(curve_name, j["proof"]),
+        proof=proof_from(curve_name, j["proof"]),
         inputs=[hex_to_int(v) for v in j["inputs"]],
     )
 

@@ -111,10 +111,10 @@ def _abc_evaluations_fast(r1cs: R1CS, assignment):
     return r1cs.abc_evaluations(assignment)
 
 
-class Groth16TPU:
-    """TPU-path Groth16 over the named curve."""
-
-    name = "GROTH16"
+class TpuSnarkBase:
+    """Shared TPU machinery for snark backends: curve handles and the
+    chunked batched fixed-base scalar multiplication used by trusted
+    setups.  Groth16TPU and Pghr13TPU both build on this."""
 
     def __init__(self, curve_name: str):
         self.curve_name = curve_name
@@ -182,6 +182,22 @@ class Groth16TPU:
             True, msm_tpu.pack_g2_points, scalars, base
         )
         return msm_tpu.unpack_g2_points_batch(self.curve_name, acc)
+
+    def msm_device(self, g2: bool, query: dict, scalars: Sequence[int]):
+        """MSM of host ints against a padded device query."""
+        n = query["x"].shape[0]
+        assert len(scalars) <= n
+        scal = [s % self.r for s in scalars] + [0] * (n - len(scalars))
+        digits = msm_tpu.scalar_digit_planes(
+            scal, self.r.bit_length(), msm_tpu.MSM_WINDOW_C
+        )
+        return msm_tpu.msm_jit(self.curve_name, g2)(digits, query)
+
+
+class Groth16TPU(TpuSnarkBase):
+    """TPU-path Groth16 over the named curve."""
+
+    name = "GROTH16"
 
     # ------------------------------------------------------------------
     # trusted setup
