@@ -149,3 +149,56 @@ def test_mimc_gadget_matches_host():
     assert mimc.mimc_hash_inputs([3, 5, 8], R_W) != mimc.mimc_hash_inputs(
         vals, R_W
     )
+
+
+# ---------------------------------------------------------------------------
+# BLAKE2s (joinsplit hash; reference aggregator_test.cpp:52)
+# ---------------------------------------------------------------------------
+
+
+def test_blake2s_host_matches_hashlib():
+    import hashlib
+
+    from zecale_tpu.gadgets import blake2s as b2
+
+    rng = random.Random(40)
+    for n in (0, 1, 31, 32, 63, 64, 65, 104, 128, 200):
+        data = bytes(rng.randrange(256) for _ in range(n))
+        assert b2.blake2s_host(data) == hashlib.blake2s(data).digest(), n
+
+
+def test_blake2s_bits_roundtrip():
+    from zecale_tpu.gadgets import blake2s as b2
+
+    data = bytes(range(64))
+    assert b2.bits_be_to_bytes(b2.bytes_to_bits_be(data)) == data
+
+
+@pytest.mark.parametrize("nbytes", [64, 104])
+def test_blake2s_gadget_matches_host(nbytes):
+    """One- and two-block messages (the joinsplit's PRF and commitment
+    preimage sizes) through the in-circuit gadget."""
+    import hashlib
+
+    from zecale_tpu.gadgets import blake2s as b2
+
+    r = P.BLS12_377_R  # nested field, where the joinsplit lives
+    rng = random.Random(41)
+    data = bytes(rng.randrange(256) for _ in range(nbytes))
+
+    pb = Protoboard(r)
+    in_vars = pb.allocate_array(8 * nbytes)
+    in_bits = [LC.of_var(v) for v in in_vars]
+    for bit in in_bits:
+        pb.enforce_boolean(bit)
+    digest_bits = b2.blake2s_gadget(pb, in_bits)
+
+    bits = b2.bytes_to_bits_be(data)
+
+    def extra(w):
+        for v, bit in zip(in_vars, bits):
+            w[v] = bit
+
+    w = _finish(pb, extra)
+    got = b2.bits_be_to_bytes([pb.lc_val(w, b) for b in digest_bits])
+    assert got == hashlib.blake2s(data).digest()

@@ -44,16 +44,17 @@ def round_constants(r: int, rounds: int) -> tuple:
 
 
 def params_for_field(r: int) -> tuple:
-    """(exponent, rounds) per wrapper scalar field, mirroring the reference's
-    compression_function_selector (BW6-761: e=17,r=93; MNT: e=17,r=73)."""
-    from ..ff import params as P
+    """(exponent, rounds) per scalar field, mirroring the reference's
+    compression_function_selector (BW6-761: e=17,r=93; MNT: e=17,r=73).
 
-    if r == P.BW6_761_R:
-        return 17, 93
-    if r in (P.MNT4_298_R, P.MNT6_298_R):
-        return 17, 73
-    # default: scale rounds so e^rounds > r^2 (generic safety margin)
-    return 17, 93
+    The selector follows the MiMC rule rounds = ceil(bits / log2(e)) with
+    e = 17, which reproduces the reference's pinned values exactly
+    (377 bits -> 93, 298 bits -> 73) and extends to the nested fields
+    (BLS12-377 Fr, 253 bits -> 62) used by the joinsplit tree hash."""
+    import math
+
+    e = 17
+    return e, math.ceil(r.bit_length() / math.log2(e))
 
 
 # ---------------------------------------------------------------------------
