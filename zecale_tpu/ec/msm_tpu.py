@@ -158,6 +158,106 @@ def msm_jit(curve_name: str, g2: bool, c: int = MSM_WINDOW_C):
     return bound_jit([crv.F], lambda d, p: crv.msm_pippenger(d, p, c))
 
 
+# ---------------------------------------------------------------------------
+# windowed fixed-base scalar multiplication (trusted-setup hot kernel)
+# ---------------------------------------------------------------------------
+
+#: window width for the fixed-base table.  c=5 turns the 253/377-bit
+#: double-and-add scan (1 dbl + 1 unified add per bit) into ~bits/5 mixed
+#: adds against a host-precomputed table — ~8x fewer field muls.
+FIXED_BASE_WINDOW_C = 5
+
+
+@functools.lru_cache(maxsize=None)
+def _fixed_base_host_table(curve_name: str, g2: bool, base_key, c: int):
+    """Host-side window table rows[j][d] = d * 2^{jc} * base (affine; d=0
+    entries are None).  Row 0 is the LEAST significant window."""
+    crv = hc.g2_curve(curve_name) if g2 else hc.g1_curve(curve_name)
+    base = base_key
+    r = P.CURVES[curve_name].r
+    num_windows = -(-r.bit_length() // c)
+    rows = []
+    p = base
+    for _ in range(num_windows):
+        row = [None, p]
+        for _d in range(2, 1 << c):
+            row.append(crv.add(row[-1], p))
+        rows.append(row)
+        for _ in range(c):
+            p = crv.dbl(p)
+    return rows
+
+
+@functools.lru_cache(maxsize=None)
+def _fixed_base_device_table(curve_name: str, g2: bool, base_key, c: int):
+    """(tx, ty, tinf, z_one) device arrays; t* shaped (W, 2^c, ...limbs)."""
+    rows = _fixed_base_host_table(curve_name, g2, base_key, c)
+    W, D = len(rows), 1 << c
+    flat = [pt for row in rows for pt in row]
+    if g2 and curve_name not in ("bw6-761", "mnt6-298"):
+        F = fp2_jax.bls12_377_fq2()
+        zero = (0, 0)
+        xs = F.pack([zero if pt is None else pt[0] for pt in flat])
+        ys = F.pack([zero if pt is None else pt[1] for pt in flat])
+        z_one = F.pack([(1, 0)])
+    else:
+        q = P.CURVES[curve_name].q
+        F = fp_jax.field(q)
+        xs = F.pack([0 if pt is None else pt[0] for pt in flat])
+        ys = F.pack([0 if pt is None else pt[1] for pt in flat])
+        z_one = F.pack([1])
+    tx = xs.reshape(W, D, *xs.shape[1:])
+    ty = ys.reshape(W, D, *ys.shape[1:])
+    tinf = jnp.asarray(
+        np.array([pt is None for pt in flat], dtype=bool).reshape(W, D)
+    )
+    return tx, ty, tinf, z_one[0]
+
+
+@functools.lru_cache(maxsize=None)
+def fixed_base_jit(curve_name: str, g2: bool):
+    """Cached jitted windowed fixed-base multiply:
+    (digits (W, N) LSB-window-first, tx, ty, tinf, z_one) -> Jacobian pts."""
+    import jax
+
+    from ..utils.jit_utils import bound_jit
+
+    crv = g2_curve_tpu(curve_name) if g2 else g1_curve_tpu(curve_name)
+
+    def run(digits, tx, ty, tinf, z_one):
+        n = digits.shape[1]
+        xs0 = tx[0][digits[0]]
+
+        def body(acc, xs):
+            drow, txj, tyj, tinfj = xs
+            q = {"x": txj[drow], "y": tyj[drow], "inf": tinfj[drow]}
+            return crv.add_mixed(acc, q, z_one), None
+
+        acc0 = jac_point(
+            jnp.zeros_like(xs0), jnp.zeros_like(xs0),
+            jnp.zeros((n, *z_one.shape), z_one.dtype),
+        )
+        acc, _ = jax.lax.scan(body, acc0, (digits, tx, ty, tinf))
+        return acc
+
+    return bound_jit([crv.F], run)
+
+
+def fixed_base_mul_batch(
+    curve_name: str,
+    g2: bool,
+    scalars: Sequence[int],
+    base,
+    c: int = FIXED_BASE_WINDOW_C,
+):
+    """[k_i] * base for all i on device (windowed; base table cached)."""
+    r = P.CURVES[curve_name].r
+    digits = scalar_digit_planes([s % r for s in scalars], r.bit_length(), c)
+    digits = jnp.asarray(np.asarray(digits)[::-1].copy())  # LSB window first
+    tx, ty, tinf, z_one = _fixed_base_device_table(curve_name, g2, base, c)
+    return fixed_base_jit(curve_name, g2)(digits, tx, ty, tinf, z_one)
+
+
 @functools.lru_cache(maxsize=None)
 def batch_mul_jit(curve_name: str, g2: bool):
     """Cached jitted batched fixed-base scalar multiply:

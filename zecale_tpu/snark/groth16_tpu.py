@@ -134,10 +134,11 @@ class TpuSnarkBase:
     BATCH_MUL_CHUNK = 16384
 
     def _batch_scalar_mul(self, g2: bool, pack_pt, scalars: Sequence[int], base):
-        """[k_i] * base for all i, on device (chunked)."""
+        """[k_i] * base for all i, on device (chunked, windowed fixed-base
+        against a cached host-precomputed table: ~bits/5 mixed adds per
+        scalar instead of bits x (dbl + unified add))."""
         n = len(scalars)
         chunk = self.BATCH_MUL_CHUNK
-        fn = msm_tpu.batch_mul_jit(self.curve_name, g2)
         outs = []
         import logging as _logging
 
@@ -155,9 +156,9 @@ class TpuSnarkBase:
                 # keep one compiled shape across chunks
                 pad = chunk - len(part)
                 part = part + [0] * pad
-            bits = msm_tpu.scalar_bit_planes(part, self.r.bit_length())
-            base_batch = pack_pt(self.curve_name, [base] * len(part))
-            acc = fn(bits, base_batch)
+            acc = msm_tpu.fixed_base_mul_batch(
+                self.curve_name, g2, part, base
+            )
             if pad:
                 acc = {k: v[: chunk - pad] for k, v in acc.items()}
             outs.append(acc)
