@@ -300,6 +300,23 @@ def msm_g2_pippenger(curve_name: str, scalars, points, c: int = MSM_WINDOW_C):
     return unpack_g2_point(curve_name, acc)
 
 
+def _jac_to_affine_batch(fq, xs, ys, zs) -> list:
+    """Jacobian -> affine with ONE inversion for the whole batch
+    (host_field.batch_inverse); naive per-point exponentiation dominated
+    trusted-setup wall time."""
+    from ..ff.host_field import batch_inverse
+
+    zinvs = batch_inverse(fq, zs)
+    out = []
+    for x, y, z, zinv in zip(xs, ys, zs, zinvs):
+        if fq.is_zero(z):
+            out.append(None)
+            continue
+        zinv2 = fq.sqr(zinv)
+        out.append((fq.mul(x, zinv2), fq.mul(y, fq.mul(zinv2, zinv))))
+    return out
+
+
 def unpack_g1_points_batch(curve_name: str, pts_dev) -> list:
     """Batched device->host affine conversion (ONE device transfer per
     coordinate; per-point device slicing costs a tunnel round-trip each on
@@ -308,16 +325,7 @@ def unpack_g1_points_batch(curve_name: str, pts_dev) -> list:
     xs = F.unpack(pts_dev["x"])
     ys = F.unpack(pts_dev["y"])
     zs = F.unpack(pts_dev["z"])
-    fq = hc.g1_curve(curve_name).F
-    out = []
-    for x, y, z in zip(xs, ys, zs):
-        if z == 0:
-            out.append(None)
-            continue
-        zinv = fq.inv(z)
-        zinv2 = fq.sqr(zinv)
-        out.append((fq.mul(x, zinv2), fq.mul(y, fq.mul(zinv2, zinv))))
-    return out
+    return _jac_to_affine_batch(hc.g1_curve(curve_name).F, xs, ys, zs)
 
 
 def unpack_g2_points_batch(curve_name: str, pts_dev) -> list:
@@ -327,13 +335,4 @@ def unpack_g2_points_batch(curve_name: str, pts_dev) -> list:
     xs = F2.unpack(pts_dev["x"])
     ys = F2.unpack(pts_dev["y"])
     zs = F2.unpack(pts_dev["z"])
-    fq2 = hc.g2_curve(curve_name).F
-    out = []
-    for x, y, z in zip(xs, ys, zs):
-        if fq2.is_zero(z):
-            out.append(None)
-            continue
-        zinv = fq2.inv(z)
-        zinv2 = fq2.sqr(zinv)
-        out.append((fq2.mul(x, zinv2), fq2.mul(y, fq2.mul(zinv2, zinv))))
-    return out
+    return _jac_to_affine_batch(hc.g2_curve(curve_name).F, xs, ys, zs)

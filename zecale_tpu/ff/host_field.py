@@ -358,3 +358,25 @@ class _Towers:
 
 
 towers = _Towers()
+
+
+def batch_inverse(F, vals):
+    """Montgomery batch inversion over any field-ops object: one F.inv +
+    3(n-1) muls instead of n inversions.  Zero entries map to zero.
+
+    The device->host point unpacking after setup's fixed-base multiplies
+    inverts one Z per point; done naively that is n modular
+    exponentiations and dominates trusted-setup wall time."""
+    n = len(vals)
+    one = F.one()
+    prefix = [one] * (n + 1)
+    for i, v in enumerate(vals):
+        prefix[i + 1] = prefix[i] if F.is_zero(v) else F.mul(prefix[i], v)
+    running = F.inv(prefix[n])
+    out = [F.zero()] * n
+    for i in range(n - 1, -1, -1):
+        v = vals[i]
+        if not F.is_zero(v):
+            out[i] = F.mul(prefix[i], running)
+            running = F.mul(running, v)
+    return out

@@ -50,15 +50,38 @@ def from_limbs(a) -> int:
 
 
 def batch_to_limbs(xs, L: int) -> np.ndarray:
-    """Pack a list of ints -> (N, L) uint32."""
-    out = np.empty((len(xs), L), dtype=np.uint32)
-    for i, x in enumerate(xs):
-        out[i] = to_limbs(x, L)
-    return out
+    """Pack a list of ints -> (N, L) uint32 (via C-level int.to_bytes;
+    the per-limb Python loop dominated host packing at setup scale)."""
+    nbytes = 2 * L
+    assert LIMB_BITS == 16
+    buf = b"".join(int(x).to_bytes(nbytes, "little") for x in xs)
+    return (
+        np.frombuffer(buf, dtype="<u2")
+        .reshape(len(xs), L)
+        .astype(np.uint32)
+    )
 
 
 def batch_from_limbs(arr) -> list:
-    return [from_limbs(row) for row in np.asarray(arr)]
+    """(N, L) limbs -> list of ints.  Fast path via int.from_bytes when the
+    limbs are normalized 16-bit values (always true for kernel outputs);
+    falls back to the generic per-limb accumulation otherwise."""
+    a = np.asarray(arr)
+    assert a.ndim == 2
+    if (
+        LIMB_BITS == 16
+        and a.dtype.kind in "iu"
+        and a.size
+        and int(a.min()) >= 0
+        and int(a.max()) < (1 << LIMB_BITS)
+    ):
+        nbytes = 2 * a.shape[1]
+        buf = a.astype("<u2").tobytes()
+        return [
+            int.from_bytes(buf[i * nbytes : (i + 1) * nbytes], "little")
+            for i in range(a.shape[0])
+        ]
+    return [from_limbs(row) for row in a]
 
 
 @dataclasses.dataclass(frozen=True)
