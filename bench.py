@@ -18,6 +18,15 @@ import os
 import sys
 import time
 
+# Persistent XLA compilation cache (set BEFORE the first jax import): the
+# MSM kernel compile is minutes-long on this 2-vCPU host; cache it across
+# bench invocations.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_zecale")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+import numpy as np
+
 REFERENCE_MSM_MPOINTS_PER_S = 1.0  # nominal 64-core libff baseline
 
 N_POINTS = int(os.environ.get("BENCH_MSM_N", "4096"))
@@ -59,21 +68,40 @@ def main() -> int:
     log("compiling MSM kernel...")
     t0 = time.time()
     out = fn(digits, pts_dev)
-    jax.block_until_ready(out)
+    _ = np.asarray(out["x"])  # force full materialization (remote backend's
+    # block_until_ready does not block; a host read of the result does)
     log(f"compile+first run: {time.time() - t0:.1f}s")
 
+    # steady state: DISTINCT scalar sets per iteration (a remote backend
+    # could serve repeated identical dispatches from cache), each iteration
+    # fenced by a host read of the (tiny) output point.
     iters = 3
+    variants = [digits] + [
+        msm_tpu.scalar_digit_planes(
+            [rng.randrange(r) for _ in range(N_POINTS)],
+            r.bit_length(),
+            WINDOW_C,
+        )
+        for _ in range(iters - 1)
+    ]
     t0 = time.time()
-    for _ in range(iters):
-        out = fn(digits, pts_dev)
-    jax.block_until_ready(out)
+    for i in range(iters):
+        o = fn(variants[i], pts_dev)
+        _ = np.asarray(o["x"])
     dt = (time.time() - t0) / iters
     mpoints = N_POINTS / dt / 1e6
     log(f"steady-state MSM: {dt:.3f}s for {N_POINTS} points")
 
-    # correctness spot check vs host oracle
+    # correctness spot check vs host oracle.  The input is 64 distinct bases
+    # cycled N/64 times, so the expected value collapses to 64 scalar
+    # multiplies: sum_j (sum_{i = j mod 64} s_i mod r) * base_j — an exact
+    # oracle that stays cheap at large N.
+    out = fn(digits, pts_dev)
     got = msm_tpu.unpack_g1_point(CURVE, out)
-    expect = crv_h.msm(scalars[:0] + scalars, pts)  # full host MSM
+    folded = [0] * 64
+    for i, s in enumerate(scalars):
+        folded[i % 64] = (folded[i % 64] + s) % r
+    expect = crv_h.msm(folded, base_pts)
     ok = got == expect
     log(f"correctness vs host oracle: {ok}")
     if not ok:

@@ -175,3 +175,30 @@ def test_pghr13_tpu_prove_verify_dummy_app():
     host = Pghr13(curve)
     assert host.verify([9], proof, kp.vk)
     assert not host.verify([10], proof, kp.vk)
+
+
+@pytest.mark.slow
+def test_msm_pippenger_matches_host_large():
+    """Pippenger differential vs host oracle at n > 512 so the tiled
+    segmented-scan reduce rounds (incl. the mixed-coordinate first round)
+    are exercised, with duplicate points (in-bucket doubling case),
+    infinity points, zero scalars and non-tile-aligned length."""
+    from zecale_tpu.ec import msm_tpu
+
+    curve = "bls12-377"
+    crv = hc.g1_curve(curve)
+    rng = random.Random(44)
+    gen = hc.generators(curve)[0]
+    base = [crv.mul(rng.randrange(1, crv.order), gen) for _ in range(16)]
+    N = 1037  # not a multiple of the tile size -> padding path
+    pts = [base[i % 16] for i in range(N)]  # heavy duplication
+    scalars = [rng.randrange(crv.order) for _ in range(N)]
+    scalars[7] = 0
+    scalars[8] = 0
+    pts[9] = None
+    # force equal digits on equal points in at least one window
+    scalars[20] = scalars[36]  # pts[20] != pts[36]
+    scalars[16] = scalars[32]  # pts[16] == pts[32] (same base mod 16)
+    got = msm_tpu.msm_g1_pippenger(curve, scalars, pts)
+    expect = crv.msm(scalars, pts)
+    assert crv.eq(got, expect)

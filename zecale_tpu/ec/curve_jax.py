@@ -287,17 +287,77 @@ class JacCurve:
         out_pts = {k: v[order] for k, v in out_pts.items()}
         return out_digits, out_pts
 
+    def _segment_tile_reduce_mixed(self, digits, pts_aff, tile, sentinel, z_one):
+        """First reduction round specialized for AFFINE inputs.
+
+        Same tiled segmented-scan structure as _segment_tile_reduce, but the
+        scanned-in points are affine {"x","y","inf"} and each step uses
+        add_mixed (~11 field muls) instead of the unified Jacobian add
+        (~16 + embedded dbl).  The running partials (and outputs) are
+        Jacobian.
+        """
+        n = digits.shape[0]
+        assert n % tile == 0
+        T = n // tile
+        d2 = digits.reshape(T, tile)
+        p2 = {k: v.reshape(T, tile, *v.shape[1:]) for k, v in pts_aff.items()}
+
+        prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), digits[:-1]])
+        start = (digits != prev).reshape(T, tile)
+        start = start.at[:, 0].set(True)
+        nxt = jnp.concatenate([digits[1:], jnp.full((1,), -2, jnp.int32)])
+        is_end = (digits != nxt).reshape(T, tile)
+        is_end = is_end.at[:, -1].set(True)
+
+        def step(run, xs):
+            s_k, q_k = xs
+            prev_kept = self.mask(run, ~s_k)
+            new_run = self.add_mixed(prev_kept, q_k, z_one)
+            return new_run, new_run
+
+        xs = (
+            jnp.moveaxis(start, 1, 0),
+            {k: jnp.moveaxis(v, 1, 0) for k, v in p2.items()},
+        )
+        zero_coord = jnp.zeros_like(p2["x"][:, 0])
+        init = jac_point(
+            zero_coord,
+            zero_coord,
+            jnp.zeros((T, *z_one.shape), z_one.dtype),
+        )
+        _, scans = jax.lax.scan(step, init, xs)
+        scan_flat = {
+            k: jnp.moveaxis(v, 0, 1).reshape(n, *v.shape[2:])
+            for k, v in scans.items()
+        }
+        keep = is_end.reshape(n)
+        out_digits = jnp.where(keep, digits, sentinel)
+        out_pts = self.mask(scan_flat, keep)
+        order = jnp.argsort(out_digits)
+        out_digits = out_digits[order]
+        out_pts = {k: v[order] for k, v in out_pts.items()}
+        return out_digits, out_pts
+
     def msm_pippenger(self, scalars_digits, pts, c: int):
         """sum_i s_i P_i via windowed buckets.
 
         scalars_digits: (num_windows, N) int32, digit w of scalar i in
         [0, 2^c); window 0 is the MOST significant.  Scatter-free bucket
         accumulation: per window, sort points by digit, reduce equal-digit
-        runs with tiled segmented scans, then combine the surviving
-        (digit, partial) pairs with a c-bit bit-serial mini-MSM.
+        runs with tiled segmented scans (the first, dominant round uses
+        mixed-coordinate adds against the affine inputs), then combine the
+        surviving (digit, partial) pairs with a c-bit bit-serial mini-MSM.
+
+        PRECONDITION: ``pts`` must be affine-packed Jacobian — z of every
+        point is 0 (infinity) or the Montgomery 1 (as produced by
+        msm_tpu.pack_g1_points / pack_g2_points).  All prover/setup queries
+        satisfy this; arbitrary-Z inputs would make the mixed first round
+        incorrect.
         """
         num_windows, n = scalars_digits.shape
         sentinel = 1 << c
+        z_one = self.F.one_mont_elem()
+        in_inf = self.is_infinity(pts)
 
         def ceil_to(x, m):
             return -(-x // m) * m
@@ -305,9 +365,13 @@ class JacCurve:
         def window_sum(digits):
             order = jnp.argsort(digits)
             d = digits[order]
-            p = {k: v[order] for k, v in pts.items()}
-            # zero digits contribute nothing; mask them to infinity
-            p = self.mask(p, d > 0)
+            # zero digits contribute nothing; fold into the affine inf mask
+            aff = {
+                "x": pts["x"][order],
+                "y": pts["y"][order],
+                "inf": in_inf[order] | (d == 0),
+            }
+            p = None  # Jacobian partials after the first reduce round
             m = n
             while m > 512:
                 tile = 64 if m >= 4096 else 8
@@ -316,14 +380,25 @@ class JacCurve:
                     d = jnp.concatenate(
                         [d, jnp.full((pad,), sentinel, jnp.int32)]
                     )
-                    p = {
-                        k: jnp.concatenate(
-                            [v, jnp.zeros((pad, *v.shape[1:]), v.dtype)]
-                        )
-                        for k, v in p.items()
-                    }
+                    src = aff if p is None else p
+                    padded = {}
+                    for k, v in src.items():
+                        if k == "inf":
+                            fill = jnp.ones((pad,), v.dtype)
+                        else:
+                            fill = jnp.zeros((pad, *v.shape[1:]), v.dtype)
+                        padded[k] = jnp.concatenate([v, fill])
+                    if p is None:
+                        aff = padded
+                    else:
+                        p = padded
                     m += pad
-                d, p = self._segment_tile_reduce(d, p, tile, sentinel)
+                if p is None:
+                    d, p = self._segment_tile_reduce_mixed(
+                        d, aff, tile, sentinel, z_one
+                    )
+                else:
+                    d, p = self._segment_tile_reduce(d, p, tile, sentinel)
                 # surviving candidates: <= tiles + buckets (+1 sentinel run)
                 keep_len = min(m, max(512, m // tile + sentinel + 2))
                 d = d[:keep_len]
@@ -331,6 +406,15 @@ class JacCurve:
                 if keep_len == m:
                     break  # no further shrink possible
                 m = keep_len
+            if p is None:  # n <= 512: lift affine inputs to Jacobian
+                zb = jnp.broadcast_to(
+                    z_one, (aff["x"].shape[0], *z_one.shape)
+                )
+                p = jac_point(
+                    aff["x"],
+                    aff["y"],
+                    self.F.select(aff["inf"], jnp.zeros_like(zb), zb),
+                )
             # final: sum_j d_j * partial_j with d_j < 2^c (sentinel -> 0)
             d = jnp.where(d >= sentinel, 0, d)
             bits = jnp.stack(
@@ -338,14 +422,17 @@ class JacCurve:
             )
             return self.msm(bits, p)
 
-        # one scan over windows (identical structure per window keeps the
-        # compiled graph size independent of the window count)
-        def wbody(acc, digits_row):
+        # All windows are independent until the final Horner fold: vmap them
+        # so their (deep, narrow) reduction chains run as ONE wide batch —
+        # the sequential depth of the whole MSM is a single window's depth
+        # plus W tiny fold steps, instead of W full window chains.
+        partials = jax.vmap(window_sum)(scalars_digits)
+
+        def wbody(acc, part):
             for _ in range(c):
                 acc = self.dbl(acc)
-            return self.add(acc, window_sum(digits_row)), None
+            return self.add(acc, part), None
 
-        acc0_src = {k: v[0] for k, v in pts.items()}
-        acc0 = {k: jnp.zeros_like(v) for k, v in acc0_src.items()}
-        acc, _ = jax.lax.scan(wbody, acc0, scalars_digits)
+        acc0 = {k: jnp.zeros_like(v[0]) for k, v in partials.items()}
+        acc, _ = jax.lax.scan(wbody, acc0, partials)
         return acc

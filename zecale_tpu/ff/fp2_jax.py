@@ -48,6 +48,12 @@ class Fp2TPU:
     def zero(self, shape=()):
         return jnp.zeros((*shape, 2, self.L), dtype=jnp.int32)
 
+    def one_mont_elem(self):
+        """(1, 0) in Montgomery form as a (2, L) element (derived from the
+        bound base-field constant)."""
+        one = self.base.one_mont
+        return jnp.stack([one, jnp.zeros_like(one)], axis=0)
+
     def add(self, a, b):
         return jnp.stack(
             [

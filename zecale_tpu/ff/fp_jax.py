@@ -141,6 +141,11 @@ class FpTPU:
     def zero(self, shape=()):
         return jnp.zeros((*shape, self.L), dtype=jnp.int32)
 
+    def one_mont_elem(self):
+        """The field's 1 in Montgomery form as a (L,) element (rides the
+        constant-binding protocol, so safe inside bound_jit traces)."""
+        return self.one_mont
+
     def _reduce_once(self, low, top):
         """value = low + top*R (low canonical, top in {0,1}, value < 2p)
         -> value mod p, canonical."""
