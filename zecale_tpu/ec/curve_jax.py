@@ -171,6 +171,66 @@ class JacCurve:
 
         return jac_point(sel("x"), sel("y"), sel("z"))
 
+    def add_affine_affine(self, p, q, z_one):
+        """Unified P + Q with BOTH operands affine ({"x","y","inf"}),
+        Jacobian result (mmadd-2007-bl, 4M+2S for the generic path).
+        Handles equal (doubling, mdbl-2007-bl), inverse and infinity
+        operands via selects — safe for bucket-accumulation trees."""
+        F = self.F
+        X1, Y1, p_inf = p["x"], p["y"], p["inf"]
+        X2, Y2, q_inf = q["x"], q["y"], q["inf"]
+        H = F.sub(X2, X1)
+        HH = F.mont_sqr(H)
+        I = F.double(F.double(HH))
+        J = F.mont_mul(H, I)
+        r = F.double(F.sub(Y2, Y1))
+        V = F.mont_mul(X1, I)
+        X3 = F.sub(F.sub(F.mont_sqr(r), J), F.double(V))
+        Y3 = F.sub(
+            F.mont_mul(r, F.sub(V, X3)),
+            F.double(F.mont_mul(Y1, J)),
+        )
+        Z3 = F.double(H)
+        generic = jac_point(X3, Y3, Z3)
+
+        # doubling of an affine point (mdbl-2007-bl, 1M+5S)
+        XX = F.mont_sqr(X1)
+        YY = F.mont_sqr(Y1)
+        YYYY = F.mont_sqr(YY)
+        S = F.double(
+            F.sub(F.sub(F.mont_sqr(F.add(X1, YY)), XX), YYYY)
+        )
+        M = F.add(F.double(XX), XX)  # a = 0
+        Xd = F.sub(F.mont_sqr(M), F.double(S))
+        Yd = F.sub(
+            F.mont_mul(M, F.sub(S, Xd)),
+            F.double(F.double(F.double(YYYY))),
+        )
+        Zd = F.double(Y1)
+        doubled = jac_point(Xd, Yd, Zd)
+
+        h_zero = F.is_zero(H)
+        r_zero = F.is_zero(F.sub(Y2, Y1))
+        dbl_case = h_zero & r_zero & ~p_inf & ~q_inf
+        inv_case = h_zero & ~r_zero & ~p_inf & ~q_inf
+
+        zb = jnp.broadcast_to(z_one, Z3.shape)
+        p_jac_z = F.select(p_inf, jnp.zeros_like(zb), zb)
+        q_jac_z = F.select(q_inf, jnp.zeros_like(zb), zb)
+
+        def sel(name):
+            out = F.select(dbl_case, doubled[name], generic[name])
+            if name == "z":
+                out = F.select(inv_case, jnp.zeros_like(out), out)
+                out = F.select(p_inf, q_jac_z, out)
+                out = F.select(q_inf & ~p_inf, p_jac_z, out)
+            else:
+                out = F.select(p_inf, q[name[0]], out)
+                out = F.select(q_inf & ~p_inf, p[name[0]], out)
+            return out
+
+        return jac_point(sel("x"), sel("y"), sel("z"))
+
     def select(self, cond, if_true, if_false):
         F = self.F
         return jac_point(

@@ -1,0 +1,470 @@
+"""Round-2 MSM engine on the 8-bit limb-plane field core (ff/fp8.py).
+
+Replaces libff's Pippenger multiexp (SURVEY.md section 2b; burned under
+generate_proof, reference aggregator_circuit.tcc:168) with a TPU-first
+design:
+
+  * signed c-bit windows (balanced digits in [-2^(c-1), 2^(c-1)]), digit
+    extraction ON DEVICE from 8-bit limb planes — scalars never round-trip
+    through host bigints;
+  * per window: one argsort by bucket id, then LOG-DEPTH pairwise
+    same-bucket combining: every round pairs each even-rank element with
+    its odd-rank neighbour (full-width batched unified adds), compacts
+    survivors with a cumsum/searchsorted gather, and halves every bucket's
+    population — after ceil(log2 n) rounds each bucket holds <= 1 point,
+    REGARDLESS of the digit distribution.  The first (widest) round runs
+    on affine inputs via the cheap mmadd formulas.  Early rounds are
+    unrolled while the array shrinks; the O(log n) tail runs as ONE
+    lax.scan body at a fixed width (compile-time control);
+  * bucket-weighted reduction via a log-depth suffix scan
+    (sum_b b*B_b = sum_k suffix_k) + binary tree, not a serial running sum;
+  * all windows processed by a single vmap — one window's sequential depth
+    for the whole MSM;
+  * Horner window fold (c doublings + 1 add per window) as a lax.scan.
+
+Everything (digits -> point) is ONE jit: no host round-trips.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ff import fp8
+from ..ff import params as P
+from .curve_jax import JacCurve, jac_point
+
+SENT = jnp.int32(0x7FFFFFFF)
+
+
+# ---------------------------------------------------------------------------
+# Fq2 over the 8-bit core (BLS12-377 G2)
+# ---------------------------------------------------------------------------
+
+
+class Fp28TPU:
+    """Quadratic extension over Fp8TPU; elements (..., 2, L)."""
+
+    def __init__(self, p: int, nr: int):
+        self.base = fp8.Fp8TPU(p)
+        self.p = p
+        self.nr = nr % p
+        R = 1 << (fp8.LIMB_BITS * self.base.L)
+        self.nr_mont = jnp.asarray(
+            fp8.to_limbs8(self.nr * R % p, self.base.L)
+        )
+        self.L = self.base.L
+
+    def consts(self):
+        return {"base": self.base.consts(), "nr": self.nr_mont}
+
+    import contextlib as _ctx
+
+    @_ctx.contextmanager
+    def bound(self, c):
+        old_nr = self.nr_mont
+        self.nr_mont = c["nr"]
+        try:
+            with self.base.bound(c["base"]):
+                yield
+        finally:
+            self.nr_mont = old_nr
+
+    def zero(self, shape=()):
+        return jnp.zeros((*shape, 2, self.L), dtype=jnp.int32)
+
+    def one_mont_elem(self):
+        one = self.base.one_mont
+        return jnp.stack([one, jnp.zeros_like(one)], axis=0)
+
+    def _per_coeff(self, op, a, b=None):
+        if b is None:
+            return jnp.stack(
+                [op(a[..., 0, :]), op(a[..., 1, :])], axis=-2
+            )
+        return jnp.stack(
+            [
+                op(a[..., 0, :], b[..., 0, :]),
+                op(a[..., 1, :], b[..., 1, :]),
+            ],
+            axis=-2,
+        )
+
+    def add(self, a, b):
+        return self._per_coeff(self.base.add, a, b)
+
+    def sub(self, a, b):
+        return self._per_coeff(self.base.sub, a, b)
+
+    def neg(self, a):
+        return self._per_coeff(self.base.neg, a)
+
+    def double(self, a):
+        return self.add(a, a)
+
+    def mont_mul(self, a, b):
+        B = self.base
+        a0, a1 = a[..., 0, :], a[..., 1, :]
+        b0, b1 = b[..., 0, :], b[..., 1, :]
+        t0 = B.mont_mul(a0, b0)
+        t1 = B.mont_mul(a1, b1)
+        mid = B.sub(
+            B.sub(B.mont_mul(B.add(a0, a1), B.add(b0, b1)), t0), t1
+        )
+        nr = jnp.broadcast_to(self.nr_mont, t1.shape)
+        c0 = B.add(t0, B.mont_mul(t1, nr))
+        return jnp.stack([c0, mid], axis=-2)
+
+    def mont_sqr(self, a):
+        return self.mont_mul(a, a)
+
+    def is_zero(self, a):
+        return jnp.all(a == 0, axis=(-1, -2))
+
+    def eq(self, a, b):
+        return jnp.all(a == b, axis=(-1, -2))
+
+    def select(self, cond, if_true, if_false):
+        return jnp.where(cond[..., None, None], if_true, if_false)
+
+    def pack(self, tuples, mont: bool = True):
+        flat = []
+        for c0, c1 in tuples:
+            flat.append(c0)
+            flat.append(c1)
+        arr = self.base.pack(flat, mont=mont)
+        return arr.reshape(len(tuples), 2, self.L)
+
+    def unpack(self, arr, mont: bool = True):
+        n = arr.shape[0]
+        flat = self.base.unpack(arr.reshape(n * 2, self.L), mont=mont)
+        return [(flat[2 * i], flat[2 * i + 1]) for i in range(n)]
+
+
+@functools.lru_cache(maxsize=None)
+def g1_curve8(curve_name: str) -> JacCurve:
+    return JacCurve(fp8.field8(P.CURVES[curve_name].q))
+
+
+@functools.lru_cache(maxsize=None)
+def g2_curve8(curve_name: str) -> JacCurve:
+    cp = P.CURVES[curve_name]
+    if cp.g2_degree == 1:  # BW6-761: G2 coordinates live in Fq itself
+        return JacCurve(fp8.field8(cp.q))
+    assert curve_name == "bls12-377", "msm8 G2 supports a=0 curves only"
+    return JacCurve(Fp28TPU(cp.q, P.BLS12_377_FQ2_QNR))
+
+
+# ---------------------------------------------------------------------------
+# packing
+# ---------------------------------------------------------------------------
+
+
+def pack_points_affine8(curve_name: str, pts: Sequence, g2: bool = False):
+    """Host affine points (or None) -> {"x","y","inf"} 8-bit device arrays."""
+    cp = P.CURVES[curve_name]
+    if g2 and cp.g2_degree != 1:
+        F = g2_curve8(curve_name).F
+        zero = (0, 0)
+        xs = [zero if pt is None else pt[0] for pt in pts]
+        ys = [zero if pt is None else pt[1] for pt in pts]
+    else:
+        F = fp8.field8(cp.q)
+        xs = [0 if pt is None else pt[0] for pt in pts]
+        ys = [0 if pt is None else pt[1] for pt in pts]
+    inf = jnp.asarray(np.array([pt is None for pt in pts], dtype=bool))
+    return {"x": F.pack(xs), "y": F.pack(ys), "inf": inf}
+
+
+def unpack_jac_point8(curve_name: str, pt_dev, g2: bool = False):
+    """One device Jacobian point -> host affine tuple (or None)."""
+    from . import host_curve as hc
+
+    cp = P.CURVES[curve_name]
+    if g2 and cp.g2_degree != 1:
+        F = g2_curve8(curve_name).F
+        fq = hc.g2_curve(curve_name).F
+        x = F.unpack(pt_dev["x"][None])[0]
+        y = F.unpack(pt_dev["y"][None])[0]
+        z = F.unpack(pt_dev["z"][None])[0]
+        if fq.is_zero(z):
+            return None
+    else:
+        F = fp8.field8(cp.q)
+        fq = hc.g1_curve(curve_name).F
+        x = F.unpack(pt_dev["x"][None, :])[0]
+        y = F.unpack(pt_dev["y"][None, :])[0]
+        z = F.unpack(pt_dev["z"][None, :])[0]
+        if z == 0:
+            return None
+    zinv = fq.inv(z)
+    zinv2 = fq.sqr(zinv)
+    return (fq.mul(x, zinv2), fq.mul(y, fq.mul(zinv2, zinv)))
+
+
+# ---------------------------------------------------------------------------
+# device-side signed digit extraction
+# ---------------------------------------------------------------------------
+
+
+def num_windows(nbits: int, c: int) -> int:
+    """Window count with one extra bit of headroom for the balanced-digit
+    carry out of the top window."""
+    return -(-(nbits + 1) // c)
+
+
+def signed_digits_from_limbs8(scal8, nbits: int, c: int):
+    """(n, L) std-form 8-bit scalar limbs -> (W, n) buckets, (W, n) signs.
+
+    Balanced representation: raw c-bit digits d are rewritten so each lies
+    in [-2^(c-1), 2^(c-1)] with a +1 carry into the next window; bucket id
+    is |d| (0 = no-op), sign 1 means subtract the point.
+    """
+    n, L = scal8.shape
+    W = num_windows(nbits, c)
+    half = 1 << (c - 1)
+    full = 1 << c
+
+    def raw_digit(w):
+        o = c * w
+        k, sh = o // 8, o % 8
+
+        def byte(i):
+            if i < L:
+                return scal8[:, i].astype(jnp.int32)
+            return jnp.zeros((n,), jnp.int32)
+
+        v = byte(k) + (byte(k + 1) << 8) + (byte(k + 2) << 16)
+        return (v >> sh) & (full - 1)
+
+    buckets, signs = [], []
+    carry = jnp.zeros((n,), jnp.int32)
+    for w in range(W):
+        d = raw_digit(w) + carry
+        over = d > half
+        carry = over.astype(jnp.int32)
+        d = jnp.where(over, d - full, d)
+        signs.append((d < 0).astype(jnp.int32))
+        buckets.append(jnp.abs(d))
+    return jnp.stack(buckets), jnp.stack(signs)
+
+
+# ---------------------------------------------------------------------------
+# the MSM kernel
+# ---------------------------------------------------------------------------
+
+
+def _round_schedule(n: int, K: int):
+    """(unrolled sizes, number of fixed-size scan rounds, scan width).
+
+    After round t every bucket holds <= ceil(n / 2^t) elements and the
+    compacted array holds <= ceil(n/2^t) + K live entries.  We unroll
+    rounds while that bound shrinks, then finish the remaining
+    ceil(log2 n) rounds at a fixed width under lax.scan.
+    """
+    total = max(1, math.ceil(math.log2(max(n, 2))))
+    sizes = []
+    t = 0
+    while t < total:
+        nxt = -(-n // (1 << (t + 1))) + K + 1
+        if nxt >= (sizes[-1] if sizes else n):
+            break
+        sizes.append(nxt)
+        t += 1
+    scan_rounds = total - t
+    scan_width = sizes[-1] if sizes else n
+    return sizes, scan_rounds, scan_width
+
+
+def _gather_pt(pt, idx):
+    return {k: v[idx] for k, v in pt.items()}
+
+
+def _compact_indices(keep, out_size):
+    """Indices of the first ``out_size`` kept entries (+validity mask)."""
+    csum = jnp.cumsum(keep.astype(jnp.int32))
+    total = csum[-1]
+    j = jnp.arange(out_size, dtype=jnp.int32)
+    g = jnp.searchsorted(csum, j + 1, side="left").astype(jnp.int32)
+    valid = (j + 1) <= total
+    g = jnp.clip(g, 0, keep.shape[0] - 1)
+    return g, valid
+
+
+def _pair_flags(keys):
+    """(can_pair, keep) for one combining round over sorted keys."""
+    s = keys.shape[0]
+    first = jnp.searchsorted(keys, keys, side="left").astype(jnp.int32)
+    rank = jnp.arange(s, dtype=jnp.int32) - first
+    even = (rank & 1) == 0
+    nxt = jnp.concatenate([keys[1:], jnp.full((1,), -7, jnp.int32)])
+    can_pair = even & (nxt == keys) & (keys != SENT)
+    keep = even & (keys != SENT)
+    return can_pair, keep
+
+
+def _combine_round_jac(crv, keys, pts, out_size):
+    """One pairwise same-bucket combining round on Jacobian points."""
+    can_pair, keep = _pair_flags(keys)
+    g, valid = _compact_indices(keep, out_size)
+    s = keys.shape[0]
+    new_keys = jnp.where(valid, keys[g], SENT)
+    p1 = _gather_pt(pts, g)
+    g2i = jnp.clip(g + 1, 0, s - 1)
+    p2 = _gather_pt(pts, g2i)
+    p2 = crv.mask(p2, can_pair[g] & valid)
+    p1 = crv.mask(p1, valid)
+    return new_keys, crv.add(p1, p2)
+
+
+def _combine_round_affine(crv, keys, aff, out_size, z_one):
+    """First combining round: affine inputs, Jacobian outputs."""
+    can_pair, keep = _pair_flags(keys)
+    g, valid = _compact_indices(keep, out_size)
+    s = keys.shape[0]
+    new_keys = jnp.where(valid, keys[g], SENT)
+    a1 = {k: v[g] for k, v in aff.items()}
+    g2i = jnp.clip(g + 1, 0, s - 1)
+    a2 = {k: v[g2i] for k, v in aff.items()}
+    a1["inf"] = a1["inf"] | ~valid
+    a2["inf"] = a2["inf"] | ~(can_pair[g] & valid)
+    return new_keys, crv.add_affine_affine(a1, a2, z_one)
+
+
+def _window_sum(crv, F, keys, aff_sorted, n: int, c: int):
+    """Accumulate one window's sorted (key, point) pairs into the weighted
+    bucket sum.  keys: (n,) sorted ascending with SENT padding."""
+    K = 1 << (c - 1)
+    z_one = F.one_mont_elem()
+    sizes, scan_rounds, scan_w = _round_schedule(n, K)
+
+    if sizes:
+        keys, pts = _combine_round_affine(
+            crv, keys, aff_sorted, sizes[0], z_one
+        )
+        for s_next in sizes[1:]:
+            keys, pts = _combine_round_jac(crv, keys, pts, s_next)
+    else:
+        zb = jnp.broadcast_to(z_one, (n, *z_one.shape))
+        pts = jac_point(
+            aff_sorted["x"],
+            aff_sorted["y"],
+            F.select(
+                aff_sorted["inf"] | (keys == SENT),
+                jnp.zeros_like(zb),
+                zb,
+            ),
+        )
+
+    if scan_rounds > 0:
+        w = keys.shape[0]
+
+        def body(carry, _):
+            ks, ps = carry
+            ks, ps = _combine_round_jac(crv, ks, ps, w)
+            return (ks, ps), None
+
+        (keys, pts), _ = jax.lax.scan(
+            body, (keys, pts), None, length=scan_rounds
+        )
+
+    # dense buckets 1..K via binary search into the (sorted) survivors
+    b = jnp.arange(1, K + 1, dtype=jnp.int32)
+    pos = jnp.searchsorted(keys, b, side="left").astype(jnp.int32)
+    posc = jnp.clip(pos, 0, keys.shape[0] - 1)
+    hit = (pos < keys.shape[0]) & (keys[posc] == b)
+    buckets = crv.mask(_gather_pt(pts, posc), hit)
+
+    # weighted reduction: sum_b b*B_b = sum_k suffix_k (log-depth scans)
+    suffix = jax.tree_util.tree_map(
+        lambda x: jnp.flip(x, 0),
+        jax.lax.associative_scan(
+            crv.add, jax.tree_util.tree_map(lambda x: jnp.flip(x, 0), buckets)
+        ),
+    )
+    return crv.tree_reduce(suffix)
+
+
+def msm8_core(crv, F, buckets, signs, pts_aff, c: int):
+    """(W, n) buckets/signs + affine points -> Jacobian MSM result."""
+    W, n = buckets.shape
+
+    neg_y = F.neg(pts_aff["y"])
+
+    def window(bk, sg):
+        key = jnp.where(
+            pts_aff["inf"] | (bk == 0), SENT, bk
+        ).astype(jnp.int32)
+        order = jnp.argsort(key)
+        keys = key[order]
+        aff = {
+            "x": pts_aff["x"][order],
+            "y": F.select((sg > 0)[order], neg_y[order], pts_aff["y"][order]),
+            "inf": pts_aff["inf"][order] | (keys == SENT),
+        }
+        return _window_sum(crv, F, keys, aff, n, c)
+
+    partials = jax.vmap(window)(buckets, signs)
+
+    # Horner fold, most-significant window first
+    rev = jax.tree_util.tree_map(lambda x: jnp.flip(x, 0), partials)
+
+    def fold(acc, part):
+        for _ in range(c):
+            acc = crv.dbl(acc)
+        return crv.add(acc, part), None
+
+    acc0 = jax.tree_util.tree_map(lambda v: jnp.zeros_like(v[0]), partials)
+    acc, _ = jax.lax.scan(fold, acc0, rev)
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# jitted entry points
+# ---------------------------------------------------------------------------
+
+
+def default_window(n: int) -> int:
+    """Bucket-window width: ~log2(n) balances accumulation vs reduction."""
+    if n <= 1 << 10:
+        return 8
+    if n <= 1 << 13:
+        return 10
+    if n <= 1 << 16:
+        return 12
+    if n <= 1 << 19:
+        return 14
+    return 16
+
+
+@functools.lru_cache(maxsize=None)
+def msm8_jit(curve_name: str, g2: bool, c: int):
+    """(scal8 std-form (n, Lr) 8-bit limbs, pts_aff) -> Jacobian point."""
+    from ..utils.jit_utils import bound_jit
+
+    crv = g2_curve8(curve_name) if g2 else g1_curve8(curve_name)
+    nbits = P.CURVES[curve_name].r.bit_length()
+
+    def run(scal8, pts_aff):
+        buckets, signs = signed_digits_from_limbs8(scal8, nbits, c)
+        return msm8_core(crv, crv.F, buckets, signs, pts_aff, c)
+
+    return bound_jit([crv.F], run)
+
+
+def msm8(curve_name: str, scalars: Sequence[int], points: Sequence,
+         g2: bool = False, c: int = 0):
+    """Host-convenience MSM (scalars/points in, affine host point out)."""
+    r = P.CURVES[curve_name].r
+    n = len(points)
+    c = c or default_window(n)
+    Fr = fp8.field8(r)
+    scal8 = Fr.pack([s % r for s in scalars], mont=False)
+    pts = pack_points_affine8(curve_name, points, g2=g2)
+    acc = msm8_jit(curve_name, g2, c)(scal8, pts)
+    return unpack_jac_point8(curve_name, acc, g2=g2)
