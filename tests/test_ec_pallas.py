@@ -1,0 +1,108 @@
+"""Differential tests: fused Pallas group-law kernels (ec/ec_pallas.py,
+interpreter mode on CPU) vs the jnp JacCurve over the same fp8 field."""
+
+import random
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from zecale_tpu.ec import ec_pallas, host_curve as hc, msm8
+from zecale_tpu.ff import fp8
+from zecale_tpu.ff import params as P
+
+CURVE = "bls12-377"
+
+
+def _host_pts(n, rng, curve=CURVE):
+    crv = hc.g1_curve(curve)
+    gen = hc.generators(curve)[0]
+    pts, p = [], gen
+    for _ in range(n):
+        pts.append(p)
+        p = crv.add(crv.dbl(p), gen)
+    rng.shuffle(pts)
+    return pts
+
+
+def _pack_jac(curve, pts):
+    """Host affine -> device Jacobian (z=1 / infinity)."""
+    F = fp8.field8(P.CURVES[curve].q)
+    aff = msm8.pack_points_affine8(curve, pts)
+    one = F.one_mont_elem()
+    z = jnp.where(
+        aff["inf"][:, None], jnp.zeros_like(aff["x"]),
+        jnp.broadcast_to(one, aff["x"].shape),
+    )
+    return {"x": aff["x"], "y": aff["y"], "z": z}
+
+
+def _unpack_all(curve, jac):
+    return [
+        msm8.unpack_jac_point8(
+            curve, {k: v[i] for k, v in jac.items()}
+        )
+        for i in range(jac["x"].shape[0])
+    ]
+
+
+@pytest.fixture(scope="module")
+def pcrv():
+    return ec_pallas.PallasG1Curve(CURVE, bt=8)
+
+
+def test_pallas_jac_add_differential(pcrv):
+    rng = random.Random(0)
+    n = 12
+    pts_a = _host_pts(n, rng)
+    pts_b = _host_pts(n, rng)
+    # special cases: equal, inverse, infinities
+    crv_h = hc.g1_curve(CURVE)
+    pts_b[0] = pts_a[0]                      # doubling
+    pts_b[1] = (pts_a[1][0], crv_h.F.neg(pts_a[1][1]))  # inverse
+    pts_a[2] = None                          # inf + Q
+    pts_b[3] = None                          # P + inf
+    pts_a[4] = None
+    pts_b[4] = None                          # inf + inf
+    ja = _pack_jac(CURVE, pts_a)
+    jb = _pack_jac(CURVE, pts_b)
+    got = _unpack_all(CURVE, pcrv.add(ja, jb))
+    expect = [crv_h.add(a, b) for a, b in zip(pts_a, pts_b)]
+    assert got == expect
+
+
+def test_pallas_jac_dbl_differential(pcrv):
+    rng = random.Random(1)
+    pts = _host_pts(7, rng)
+    pts[3] = None
+    crv_h = hc.g1_curve(CURVE)
+    got = _unpack_all(CURVE, pcrv.dbl(_pack_jac(CURVE, pts)))
+    expect = [crv_h.dbl(p) for p in pts]
+    assert got == expect
+
+
+def test_pallas_aff_add_differential(pcrv):
+    rng = random.Random(2)
+    n = 10
+    pts_a = _host_pts(n, rng)
+    pts_b = _host_pts(n, rng)
+    crv_h = hc.g1_curve(CURVE)
+    pts_b[0] = pts_a[0]
+    pts_b[1] = (pts_a[1][0], crv_h.F.neg(pts_a[1][1]))
+    pts_a[2] = None
+    pts_b[3] = None
+    a1 = msm8.pack_points_affine8(CURVE, pts_a)
+    a2 = msm8.pack_points_affine8(CURVE, pts_b)
+    got = _unpack_all(CURVE, pcrv.add_affine_affine(a1, a2))
+    expect = [crv_h.add(a, b) for a, b in zip(pts_a, pts_b)]
+    assert got == expect
+
+
+def test_pallas_nonuniform_batch_pad(pcrv):
+    """Batch size not a multiple of the block size exercises padding."""
+    rng = random.Random(3)
+    pts = _host_pts(5, rng)
+    crv_h = hc.g1_curve(CURVE)
+    ja = _pack_jac(CURVE, pts)
+    got = _unpack_all(CURVE, pcrv.dbl(ja))
+    assert got == [crv_h.dbl(p) for p in pts]

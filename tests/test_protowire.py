@@ -1,0 +1,205 @@
+"""Wire-format tests for the hand-rolled proto3 codec
+(serialization/protowire.py): round-trips, plus byte-exact differential
+validation against the real google.protobuf runtime via dynamically built
+descriptors for the aggregator.proto schema."""
+
+import json
+
+import pytest
+
+from zecale_tpu.serialization import protowire as pw
+
+
+def test_varint_roundtrip():
+    for v in [0, 1, 127, 128, 300, 2**32, 2**63 - 1, -1, -2**63]:
+        out = bytearray()
+        pw.write_varint(out, v)
+        got, pos = pw.read_varint(bytes(out), 0)
+        assert pos == len(out)
+        if v < 0:
+            got = pw._int64_from_u64(got)
+        assert got == v
+
+
+SAMPLE_TX = {
+    "application_name": "zeth",
+    "extended_proof": {"json": json.dumps({"proof": {"a": ["0x1", "0x2"]},
+                                           "inputs": ["0xff"]})},
+    "parameters": b"\x01\x02\xff",
+    "fee_in_wei": 42,
+}
+
+SAMPLE_CFG = {
+    "nested_snark_name": "GROTH16",
+    "wrapper_snark_name": "GROTH16",
+    "nested_pairing_parameters": {
+        "name": "bls12-377",
+        "r": "0x01",
+        "q": "0x02",
+        "generator_g1": ["0xa", "0xb"],
+        "generator_g2": ["0xc", "0xd", "0xe", "0xf"],
+    },
+    "wrapper_pairing_parameters": {
+        "name": "bw6-761",
+        "r": "0x03",
+        "q": "0x04",
+        "generator_g1": ["0x1", "0x2"],
+        "generator_g2": ["0x3", "0x4"],
+    },
+}
+
+SAMPLE_AGG = {
+    "application_name": "zeth",
+    "extended_proof": {"json": "{}"},
+    "nested_parameters": [b"\x00\x01", b"", b"\xde\xad"],
+}
+
+
+@pytest.mark.parametrize(
+    "schema,msg",
+    [
+        (pw.NESTED_TRANSACTION, SAMPLE_TX),
+        (pw.AGGREGATOR_CONFIGURATION, SAMPLE_CFG),
+        (pw.AGGREGATED_TRANSACTION, SAMPLE_AGG),
+        (pw.VERIFICATION_KEY_HASH, {"hash": "0xdeadbeef"}),
+        (pw.APPLICATION_DESCRIPTION,
+         {"application_name": "x", "vk": {"json": "{\"a\":1}"}}),
+        (pw.EMPTY, {}),
+    ],
+)
+def test_roundtrip(schema, msg):
+    data = pw.encode(schema, msg)
+    back = pw.decode(schema, data)
+    for k, v in msg.items():
+        assert back[k] == v
+
+
+def _build_real_messages():
+    """Dynamically build the aggregator.proto messages with the real
+    protobuf runtime (no codegen needed)."""
+    from google.protobuf import descriptor_pb2, descriptor_pool, message_factory
+
+    fdp = descriptor_pb2.FileDescriptorProto()
+    fdp.name = "zecale_test/aggregator.proto"
+    fdp.package = "zecale_proto_test"
+    fdp.syntax = "proto3"
+
+    def add_msg(name, fields):
+        m = fdp.message_type.add()
+        m.name = name
+        for num, fname, ftype, label, tname in fields:
+            f = m.field.add()
+            f.name = fname
+            f.number = num
+            f.type = ftype
+            f.label = label
+            if tname:
+                f.type_name = f".zecale_proto_test.{tname}"
+
+    F = descriptor_pb2.FieldDescriptorProto
+    add_msg("PairingParameters", [
+        (1, "name", F.TYPE_STRING, F.LABEL_OPTIONAL, None),
+        (2, "r", F.TYPE_STRING, F.LABEL_OPTIONAL, None),
+        (3, "q", F.TYPE_STRING, F.LABEL_OPTIONAL, None),
+        (4, "generator_g1", F.TYPE_STRING, F.LABEL_REPEATED, None),
+        (5, "generator_g2", F.TYPE_STRING, F.LABEL_REPEATED, None),
+    ])
+    add_msg("AggregatorConfiguration", [
+        (1, "nested_snark_name", F.TYPE_STRING, F.LABEL_OPTIONAL, None),
+        (2, "wrapper_snark_name", F.TYPE_STRING, F.LABEL_OPTIONAL, None),
+        (3, "nested_pairing_parameters", F.TYPE_MESSAGE, F.LABEL_OPTIONAL,
+         "PairingParameters"),
+        (4, "wrapper_pairing_parameters", F.TYPE_MESSAGE, F.LABEL_OPTIONAL,
+         "PairingParameters"),
+    ])
+    add_msg("ExtendedProof", [
+        (1, "json", F.TYPE_STRING, F.LABEL_OPTIONAL, None),
+    ])
+    add_msg("NestedTransaction", [
+        (1, "application_name", F.TYPE_STRING, F.LABEL_OPTIONAL, None),
+        (2, "extended_proof", F.TYPE_MESSAGE, F.LABEL_OPTIONAL,
+         "ExtendedProof"),
+        (3, "parameters", F.TYPE_BYTES, F.LABEL_OPTIONAL, None),
+        (4, "fee_in_wei", F.TYPE_INT64, F.LABEL_OPTIONAL, None),
+    ])
+    add_msg("AggregatedTransaction", [
+        (1, "application_name", F.TYPE_STRING, F.LABEL_OPTIONAL, None),
+        (2, "extended_proof", F.TYPE_MESSAGE, F.LABEL_OPTIONAL,
+         "ExtendedProof"),
+        (3, "nested_parameters", F.TYPE_BYTES, F.LABEL_REPEATED, None),
+    ])
+
+    pool = descriptor_pool.DescriptorPool()
+    fd = pool.Add(fdp)
+    out = {}
+    for name in ("PairingParameters", "AggregatorConfiguration",
+                 "NestedTransaction", "AggregatedTransaction"):
+        out[name] = message_factory.GetMessageClass(
+            pool.FindMessageTypeByName(f"zecale_proto_test.{name}")
+        )
+    return out
+
+
+def _fill(real_msg, d):
+    for k, v in d.items():
+        if isinstance(v, dict):
+            _fill(getattr(real_msg, k), v)
+        elif isinstance(v, list):
+            getattr(real_msg, k).extend(v)
+        else:
+            setattr(real_msg, k, v)
+
+
+def test_bytes_match_real_protobuf_runtime():
+    classes = _build_real_messages()
+
+    for cls_name, schema, sample in [
+        ("NestedTransaction", pw.NESTED_TRANSACTION, SAMPLE_TX),
+        ("AggregatorConfiguration", pw.AGGREGATOR_CONFIGURATION, SAMPLE_CFG),
+        ("AggregatedTransaction", pw.AGGREGATED_TRANSACTION, SAMPLE_AGG),
+    ]:
+        real = classes[cls_name]()
+        _fill(real, sample)
+        real_bytes = real.SerializeToString(deterministic=True)
+        ours = pw.encode(schema, sample)
+        assert ours == real_bytes, f"{cls_name} wire bytes diverge"
+        # and the real runtime parses OUR bytes to the same content
+        reparsed = classes[cls_name]()
+        reparsed.ParseFromString(ours)
+        assert reparsed == real
+
+
+def test_grpc_both_transports_end_to_end():
+    """Live-socket flow over BOTH transports against one server: the proto
+    wire service (zecale_proto.Aggregator) and the canonical-JSON fallback
+    (zecale_proto.AggregatorJson) serve the same state."""
+    import tests.test_service as ts
+    from zecale_tpu.api import grpc_server
+    from zecale_tpu.client.aggregator_client import AggregatorClient
+    from zecale_tpu.serialization import json_codec as jc
+
+    svc, nkp, rng = ts._fake_service()
+    svc.nested_snark = "GROTH16"
+    svc.wrapper_snark = "GROTH16"
+    server = grpc_server.serve(svc, bind="127.0.0.1:50098", block=False)
+    try:
+        cli_p = AggregatorClient("127.0.0.1:50098", transport="proto")
+        cli_j = AggregatorClient("127.0.0.1:50098", transport="json")
+        cfg_p = cli_p.get_configuration()
+        cfg_j = cli_j.get_configuration()
+        assert cfg_p == cfg_j
+        assert cfg_p["nested_pairing_parameters"]["name"] == "bls12-377"
+
+        vk_json = jc.groth16_vk_to_json("bls12-377", nkp.vk)
+        h1 = cli_p.register_application("app", vk_json)
+        h2 = cli_j.get_nested_verification_key_hash(vk_json)
+        assert h1 == h2
+
+        # submit over proto, aggregate over json (shared pool state)
+        cli_p.submit_nested_transaction(ts._tx_json(nkp, 7, 3, rng))
+        cli_j.submit_nested_transaction(ts._tx_json(nkp, 8, 4, rng))
+        agg = cli_p.get_aggregated_transaction("app")
+        assert agg["app_name"] == "app"
+        assert agg["nested_parameters"] == ["aabb", "aabb"]
+    finally:
+        server.stop(0)

@@ -1,13 +1,18 @@
 """gRPC transport for the aggregator service.
 
 Service and method names are identical to the reference's
-``zecale_proto.Aggregator`` (proto/zecale/api/aggregator.proto:9-41).  The
-reference's message types import zeth's .proto files, which are not present
-in the environment (empty submodule), so exact protobuf wire compatibility
-is unattainable; messages here are canonical-JSON-encoded bodies carrying
-the same fields (see proto/README.md).  grpcio's generic handler API lets
-us register the service without generated stubs (grpcio-tools is not
-available in the image).
+``zecale_proto.Aggregator`` (proto/zecale/api/aggregator.proto:9-41).  Two
+transports are served simultaneously:
+
+  * ``zecale_proto.Aggregator`` — real proto3 wire format, hand-encoded
+    per proto/zecale/api/aggregator.proto (serialization/protowire.py);
+    grpcio's generic-handler API registers it without generated stubs
+    (grpcio-tools is not in the image).
+  * ``zecale_proto.AggregatorJson`` — the canonical-JSON fallback transport
+    carrying the same fields (proto/README.md).
+
+Error mapping mirrors the reference (aggregator_server.cpp:267-275):
+ServiceError -> INVALID_ARGUMENT, everything else -> UNKNOWN.
 """
 
 from __future__ import annotations
@@ -19,11 +24,13 @@ from typing import Optional
 
 import grpc
 
+from ..serialization import protowire as pw
 from .service import AggregatorService, ServiceError
 
 log = logging.getLogger("zecale.grpc")
 
 SERVICE_NAME = "zecale_proto.Aggregator"
+JSON_SERVICE_NAME = "zecale_proto.AggregatorJson"
 
 
 def _json_serializer(obj) -> bytes:
@@ -36,22 +43,63 @@ def _json_deserializer(data: bytes):
     return json.loads(data.decode("utf-8"))
 
 
+def _ident(x):
+    return x
+
+
+#: method -> (request schema, request converter wire->service dict,
+#:            response schema, response converter service dict->wire)
+METHOD_CODECS = {
+    "GetConfiguration": (pw.EMPTY, _ident, pw.AGGREGATOR_CONFIGURATION,
+                         pw.config_to_proto),
+    "GetVerificationKey": (pw.EMPTY, _ident, pw.VERIFICATION_KEY,
+                           pw.vk_to_proto),
+    "GetNestedVerificationKeyHash": (
+        pw.VERIFICATION_KEY, pw.vk_from_proto,
+        pw.VERIFICATION_KEY_HASH, _ident,
+    ),
+    "RegisterApplication": (
+        pw.APPLICATION_DESCRIPTION,
+        lambda m: {
+            "application_name": m["application_name"],
+            "vk": pw.vk_from_proto(m["vk"]),
+        },
+        pw.VERIFICATION_KEY_HASH, _ident,
+    ),
+    "SubmitNestedTransaction": (
+        pw.NESTED_TRANSACTION, pw.nested_tx_from_proto, pw.EMPTY, _ident,
+    ),
+    "GenerateAggregatedTransaction": (
+        pw.AGGREGATED_TRANSACTION_REQUEST, _ident,
+        pw.AGGREGATED_TRANSACTION, pw.agg_tx_to_proto,
+    ),
+}
+
+
 class _Handler(grpc.GenericRpcHandler):
     def __init__(self, service: AggregatorService):
         self.svc = service
         self._methods = {
-            f"/{SERVICE_NAME}/GetConfiguration": self._get_configuration,
-            f"/{SERVICE_NAME}/GetVerificationKey": self._get_vk,
-            f"/{SERVICE_NAME}/GetNestedVerificationKeyHash": self._get_nested_vk_hash,
-            f"/{SERVICE_NAME}/RegisterApplication": self._register,
-            f"/{SERVICE_NAME}/SubmitNestedTransaction": self._submit,
-            f"/{SERVICE_NAME}/GenerateAggregatedTransaction": self._aggregate,
+            "GetConfiguration": self._get_configuration,
+            "GetVerificationKey": self._get_vk,
+            "GetNestedVerificationKeyHash": self._get_nested_vk_hash,
+            "RegisterApplication": self._register,
+            "SubmitNestedTransaction": self._submit,
+            "GenerateAggregatedTransaction": self._aggregate,
         }
 
     def service(self, handler_call_details):
-        fn = self._methods.get(handler_call_details.method)
-        if fn is None:
+        path = handler_call_details.method
+        try:
+            _, svc_name, method = path.split("/")
+        except ValueError:
             return None
+        fn = self._methods.get(method)
+        if fn is None or svc_name not in (SERVICE_NAME, JSON_SERVICE_NAME):
+            return None
+
+        proto_wire = svc_name == SERVICE_NAME
+        req_schema, req_conv, resp_schema, resp_conv = METHOD_CODECS[method]
 
         def unary_unary(request, context):
             try:
@@ -62,13 +110,17 @@ class _Handler(grpc.GenericRpcHandler):
                 log.exception("internal error")
                 context.abort(grpc.StatusCode.UNKNOWN, str(e))
 
+        if proto_wire:
+            deser = lambda data: req_conv(pw.decode(req_schema, data or b""))
+            ser = lambda obj: pw.encode(resp_schema, resp_conv(obj))
+        else:
+            deser = _json_deserializer
+            ser = _json_serializer
         return grpc.unary_unary_rpc_method_handler(
-            unary_unary,
-            request_deserializer=_json_deserializer,
-            response_serializer=_json_serializer,
+            unary_unary, request_deserializer=deser, response_serializer=ser
         )
 
-    # -- method bodies -------------------------------------------------------
+    # -- method bodies (service-dict in / service-dict out) ------------------
     def _get_configuration(self, _request):
         return self.svc.get_configuration()
 

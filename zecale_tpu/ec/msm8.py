@@ -336,31 +336,73 @@ def _combine_round_affine(crv, keys, aff, out_size, z_one):
     return new_keys, crv.add_affine_affine(a1, a2, z_one)
 
 
-def _window_sum(crv, F, keys, aff_sorted, n: int, c: int):
-    """Accumulate one window's sorted (key, point) pairs into the weighted
-    bucket sum.  keys: (n,) sorted ascending with SENT padding."""
-    K = 1 << (c - 1)
-    z_one = F.one_mont_elem()
-    sizes, scan_rounds, scan_w = _round_schedule(n, K)
+def _axis0_tree_reduce(crv, pts):
+    """Binary-tree sum along axis 0 of (K, ..., L)-leading point arrays
+    (other axes ride along as batch).  Unrolled log2(K) rounds."""
+    n = pts["x"].shape[0]
+    while n > 1:
+        half = n // 2
+        even = {k: v[: 2 * half : 2] for k, v in pts.items()}
+        odd = {k: v[1 : 2 * half : 2] for k, v in pts.items()}
+        summed = crv.add(even, odd)
+        if n % 2:
+            tail = {k: v[2 * half : n] for k, v in pts.items()}
+            summed = {
+                k: jnp.concatenate([v, tail[k]], axis=0)
+                for k, v in summed.items()
+            }
+            n = half + 1
+        else:
+            n = half
+        pts = summed
+    return {k: v[0] for k, v in pts.items()}
 
+
+def msm8_core(crv, F, buckets, signs, pts_aff, c: int):
+    """(W, n) buckets/signs + affine points -> Jacobian MSM result.
+
+    Flat composite-key formulation: all W windows are accumulated in ONE
+    sorted array keyed by window*stride + bucket, so the whole MSM is a
+    single sequence of full-width batched rounds (no vmap — the fused
+    Pallas group-law kernels see one flat batch axis)."""
+    W, n = buckets.shape
+    K = 1 << (c - 1)
+    stride = K + 2
+    N = W * n
+
+    # composite keys; SENT for zero digits / infinity inputs
+    wids = jnp.arange(W, dtype=jnp.int32)[:, None]
+    key = jnp.where(
+        pts_aff["inf"][None, :] | (buckets == 0),
+        SENT,
+        wids * stride + buckets,
+    ).astype(jnp.int32)
+    keyf = key.reshape(N)
+    order = jnp.argsort(keyf)
+    keys = keyf[order]
+    src = order % n  # original point index
+    neg = (signs.reshape(N)[order] > 0) & (keys != SENT)
+    y = pts_aff["y"][src]
+    aff = {
+        "x": pts_aff["x"][src],
+        "y": F.select(neg, F.neg(y), y),
+        "inf": keys == SENT,
+    }
+
+    # pairwise same-bucket combining rounds
+    z_one = F.one_mont_elem()
+    sizes, scan_rounds, _ = _round_schedule(N, W * K)
     if sizes:
-        keys, pts = _combine_round_affine(
-            crv, keys, aff_sorted, sizes[0], z_one
-        )
+        keys, pts = _combine_round_affine(crv, keys, aff, sizes[0], z_one)
         for s_next in sizes[1:]:
             keys, pts = _combine_round_jac(crv, keys, pts, s_next)
     else:
-        zb = jnp.broadcast_to(z_one, (n, *z_one.shape))
+        zb = jnp.broadcast_to(z_one, (N, *z_one.shape))
         pts = jac_point(
-            aff_sorted["x"],
-            aff_sorted["y"],
-            F.select(
-                aff_sorted["inf"] | (keys == SENT),
-                jnp.zeros_like(zb),
-                zb,
-            ),
+            aff["x"],
+            aff["y"],
+            F.select(aff["inf"], jnp.zeros_like(zb), zb),
         )
-
     if scan_rounds > 0:
         w = keys.shape[0]
 
@@ -373,43 +415,22 @@ def _window_sum(crv, F, keys, aff_sorted, n: int, c: int):
             body, (keys, pts), None, length=scan_rounds
         )
 
-    # dense buckets 1..K via binary search into the (sorted) survivors
-    b = jnp.arange(1, K + 1, dtype=jnp.int32)
-    pos = jnp.searchsorted(keys, b, side="left").astype(jnp.int32)
+    # dense bucket extraction: (K, W) layout — bucket axis 0 so the
+    # suffix scan and tree reduction batch over windows
+    bk = jnp.arange(1, K + 1, dtype=jnp.int32)[:, None]  # (K, 1)
+    ids = (bk + wids.T * stride).reshape(-1)  # (K*W,) bucket-major
+    pos = jnp.searchsorted(keys, ids, side="left").astype(jnp.int32)
     posc = jnp.clip(pos, 0, keys.shape[0] - 1)
-    hit = (pos < keys.shape[0]) & (keys[posc] == b)
-    buckets = crv.mask(_gather_pt(pts, posc), hit)
+    hit = (pos < keys.shape[0]) & (keys[posc] == ids)
+    bpts = crv.mask(_gather_pt(pts, posc), hit)
+    bpts = {
+        k: v.reshape(K, W, *v.shape[1:]) for k, v in bpts.items()
+    }
 
-    # weighted reduction: sum_b b*B_b = sum_k suffix_k (log-depth scans)
-    suffix = jax.tree_util.tree_map(
-        lambda x: jnp.flip(x, 0),
-        jax.lax.associative_scan(
-            crv.add, jax.tree_util.tree_map(lambda x: jnp.flip(x, 0), buckets)
-        ),
-    )
-    return crv.tree_reduce(suffix)
-
-
-def msm8_core(crv, F, buckets, signs, pts_aff, c: int):
-    """(W, n) buckets/signs + affine points -> Jacobian MSM result."""
-    W, n = buckets.shape
-
-    neg_y = F.neg(pts_aff["y"])
-
-    def window(bk, sg):
-        key = jnp.where(
-            pts_aff["inf"] | (bk == 0), SENT, bk
-        ).astype(jnp.int32)
-        order = jnp.argsort(key)
-        keys = key[order]
-        aff = {
-            "x": pts_aff["x"][order],
-            "y": F.select((sg > 0)[order], neg_y[order], pts_aff["y"][order]),
-            "inf": pts_aff["inf"][order] | (keys == SENT),
-        }
-        return _window_sum(crv, F, keys, aff, n, c)
-
-    partials = jax.vmap(window)(buckets, signs)
+    # weighted bucket reduction per window:
+    # sum_b b*B_b = sum_k suffix_k, suffix via log-depth reverse scan
+    suffix = jax.lax.associative_scan(crv.add, bpts, reverse=True, axis=0)
+    partials = _axis0_tree_reduce(crv, suffix)  # (W, ...) window sums
 
     # Horner fold, most-significant window first
     rev = jax.tree_util.tree_map(lambda x: jnp.flip(x, 0), partials)
@@ -419,7 +440,7 @@ def msm8_core(crv, F, buckets, signs, pts_aff, c: int):
             acc = crv.dbl(acc)
         return crv.add(acc, part), None
 
-    acc0 = jax.tree_util.tree_map(lambda v: jnp.zeros_like(v[0]), partials)
+    acc0 = jax.tree_util.tree_map(lambda v: jnp.zeros_like(v[0]), rev)
     acc, _ = jax.lax.scan(fold, acc0, rev)
     return acc
 
@@ -442,12 +463,35 @@ def default_window(n: int) -> int:
     return 16
 
 
+def _pallas_supported(curve_name: str, g2: bool) -> bool:
+    return not g2 or P.CURVES[curve_name].g2_degree == 1
+
+
 @functools.lru_cache(maxsize=None)
-def msm8_jit(curve_name: str, g2: bool, c: int):
-    """(scal8 std-form (n, Lr) 8-bit limbs, pts_aff) -> Jacobian point."""
+def msm8_jit(curve_name: str, g2: bool, c: int,
+             use_pallas: bool | None = None, bt: int = 0):
+    """(scal8 std-form (n, Lr) 8-bit limbs, pts_aff) -> Jacobian point.
+
+    ``use_pallas``: route the group-law through the fused VMEM kernels
+    (ec_pallas).  Default: on for non-CPU backends when the group's
+    coordinates live in Fq (G1, BW6 G2); the jnp JacCurve otherwise.
+    """
     from ..utils.jit_utils import bound_jit
 
-    crv = g2_curve8(curve_name) if g2 else g1_curve8(curve_name)
+    if use_pallas is None:
+        use_pallas = (
+            jax.default_backend() != "cpu"
+            and _pallas_supported(curve_name, g2)
+        )
+    if use_pallas:
+        from . import ec_pallas
+
+        assert _pallas_supported(curve_name, g2)
+        crv = ec_pallas.PallasG1Curve(
+            curve_name, bt=bt or ec_pallas.DEFAULT_BT
+        )
+    else:
+        crv = g2_curve8(curve_name) if g2 else g1_curve8(curve_name)
     nbits = P.CURVES[curve_name].r.bit_length()
 
     def run(scal8, pts_aff):
@@ -458,7 +502,8 @@ def msm8_jit(curve_name: str, g2: bool, c: int):
 
 
 def msm8(curve_name: str, scalars: Sequence[int], points: Sequence,
-         g2: bool = False, c: int = 0):
+         g2: bool = False, c: int = 0, use_pallas: bool | None = None,
+         bt: int = 0):
     """Host-convenience MSM (scalars/points in, affine host point out)."""
     r = P.CURVES[curve_name].r
     n = len(points)
@@ -466,5 +511,5 @@ def msm8(curve_name: str, scalars: Sequence[int], points: Sequence,
     Fr = fp8.field8(r)
     scal8 = Fr.pack([s % r for s in scalars], mont=False)
     pts = pack_points_affine8(curve_name, points, g2=g2)
-    acc = msm8_jit(curve_name, g2, c)(scal8, pts)
+    acc = msm8_jit(curve_name, g2, c, use_pallas, bt)(scal8, pts)
     return unpack_jac_point8(curve_name, acc, g2=g2)

@@ -237,19 +237,39 @@ class Fp8TPU:
         "toep_p",
     )
 
+    @property
+    def tc(self) -> dict:
+        """Transposed-constants dict for the Pallas/limb-major helpers
+        (ff/fp8t.py); lazily built, array fields ride consts()/bound()."""
+        if not hasattr(self, "_tc"):
+            from . import fp8t
+
+            self._tc = fp8t.make_tconsts(self)
+        return self._tc
+
     def consts(self):
-        return {a: getattr(self, a) for a in self._CONST_ATTRS}
+        out = {a: getattr(self, a) for a in self._CONST_ATTRS}
+        from . import fp8t
+
+        out["tc"] = {k: self.tc[k] for k in fp8t.TC_ARRAYS}
+        return out
 
     @contextlib.contextmanager
     def bound(self, c):
+        from . import fp8t
+
         old = {a: getattr(self, a) for a in self._CONST_ATTRS}
+        old_tc = {k: self.tc[k] for k in fp8t.TC_ARRAYS}
         for a in self._CONST_ATTRS:
             setattr(self, a, c[a])
+        if "tc" in c:
+            self._tc.update(c["tc"])
         try:
             yield
         finally:
             for a in self._CONST_ATTRS:
                 setattr(self, a, old[a])
+            self._tc.update(old_tc)
 
     # ------------------------------------------------------------------
     def zero(self, shape=()):
@@ -412,26 +432,25 @@ class Fp8TPU:
         return jnp.where(zmask[..., None], jnp.zeros_like(a), invs)
 
     # -- host conversion ------------------------------------------------------
-    def _mont_convert_jit(self):
-        if not hasattr(self, "_mont_conv_fn"):
-            from ..utils.jit_utils import bound_jit
-
-            self._mont_conv_fn = bound_jit(
-                [self],
-                lambda a, to: jnp.where(to, self.to_mont(a), self.from_mont(a)),
-            )
-        return self._mont_conv_fn
-
+    # Montgomery form conversion happens HOST-side (one bigint mulmod per
+    # element): device-side to_mont/from_mont at pack time would trigger a
+    # minutes-long XLA compile per new batch shape on the remote backend.
     def pack(self, ints, mont: bool = True):
-        arr = jnp.asarray(batch_to_limbs8([x % self.p for x in ints], self.L))
-        if not mont:
-            return arr
-        return self._mont_convert_jit()(arr, True)
+        p = self.p
+        if mont:
+            R = 1 << (LIMB_BITS * self.L)
+            vals = [x % p * R % p for x in ints]
+        else:
+            vals = [x % p for x in ints]
+        return jnp.asarray(batch_to_limbs8(vals, self.L))
 
     def unpack(self, arr, mont: bool = True) -> list:
+        vals = batch_from_limbs8(np.asarray(arr))
         if mont:
-            arr = self._mont_convert_jit()(arr, False)
-        return batch_from_limbs8(np.asarray(arr))
+            p = self.p
+            rinv = pow(1 << (LIMB_BITS * self.L), p - 2, p)
+            vals = [v * rinv % p for v in vals]
+        return vals
 
 
 @functools.lru_cache(maxsize=None)

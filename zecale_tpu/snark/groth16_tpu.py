@@ -195,10 +195,76 @@ class TpuSnarkBase:
         return msm_tpu.msm_jit(self.curve_name, g2)(digits, query)
 
 
+@dataclasses.dataclass
+class DevicePk8:
+    """Proving key packed for the round-2 MSM engine (affine 8-bit limb
+    planes + infinity masks; zecale_tpu/ec/msm8.py)."""
+
+    curve_name: str
+    num_pub: int
+    n_g1: int
+    n_g2: int
+    alpha_g1: tuple
+    beta_g1: tuple
+    beta_g2: tuple
+    delta_g1: tuple
+    delta_g2: tuple
+    a_query: dict
+    b_g1_query: dict
+    b_g2_query: dict
+    l_query: dict
+    h_query: dict
+
+
+def pack_pk8(curve_name: str, pk: Groth16ProvingKey, num_pub: int) -> DevicePk8:
+    """Pack the proving key as affine 8-bit limb planes, all G1 queries
+    padded to one common power-of-two length (shared compiled MSM)."""
+    from ..ec import msm8
+
+    n_g1 = _next_pow2(
+        max(
+            len(pk.a_query),
+            len(pk.b_g1_query),
+            max(1, len(pk.l_query)),
+            max(1, len(pk.h_query)),
+        )
+    )
+    n_g2 = _next_pow2(len(pk.b_g2_query))
+
+    def pad(q, n):
+        return list(q) + [None] * (n - len(q))
+
+    return DevicePk8(
+        curve_name=curve_name,
+        num_pub=num_pub,
+        n_g1=n_g1,
+        n_g2=n_g2,
+        alpha_g1=pk.alpha_g1,
+        beta_g1=pk.beta_g1,
+        beta_g2=pk.beta_g2,
+        delta_g1=pk.delta_g1,
+        delta_g2=pk.delta_g2,
+        a_query=msm8.pack_points_affine8(curve_name, pad(pk.a_query, n_g1)),
+        b_g1_query=msm8.pack_points_affine8(
+            curve_name, pad(pk.b_g1_query, n_g1)
+        ),
+        b_g2_query=msm8.pack_points_affine8(
+            curve_name, pad(pk.b_g2_query, n_g2), g2=True
+        ),
+        l_query=msm8.pack_points_affine8(curve_name, pad(pk.l_query, n_g1)),
+        h_query=msm8.pack_points_affine8(curve_name, pad(pk.h_query, n_g1)),
+    )
+
+
 class Groth16TPU(TpuSnarkBase):
     """TPU-path Groth16 over the named curve."""
 
     name = "GROTH16"
+
+    #: route proof MSMs through the round-2 engine (ec/msm8.py: device-side
+    #: digit extraction, sort-based log-depth bucket combining, fused
+    #: Pallas group law).  The 16-bit msm_tpu path remains as fallback.
+    use_msm8 = True
 
     # ------------------------------------------------------------------
     # trusted setup
@@ -285,6 +351,104 @@ class Groth16TPU(TpuSnarkBase):
         dev = [F.pack(v) for v in (az, bz, cz)]
         return fft_tpu.h_pipeline_jit(r1cs.qap_degree, r)(*dev)
 
+    def _prove8(
+        self,
+        r1cs: R1CS,
+        pk,
+        assignment: Sequence[int],
+        rng: random.Random,
+        device_pk: Optional[DevicePk8] = None,
+        timings: Optional[dict] = None,
+    ) -> Groth16Proof:
+        """Round-2 prove path: H stays on device from the FFT straight into
+        MSM digit extraction; scalars are digitized ON DEVICE from 8-bit
+        limb planes (no host bigint round-trips on the hot path).
+        Replaces the reference's generate_proof hot loop
+        (aggregator_circuit.tcc:168: libfqfft FFT + libff multiexp)."""
+        import time as _time
+
+        import jax.numpy as jnp
+
+        from ..ec import msm8
+        from ..ff import fp8
+        from ..utils.jit_utils import bound_jit
+
+        t0 = _time.time()
+        r = self.r
+        num_pub = r1cs.num_primary + 1
+        dpk = device_pk or pack_pk8(self.curve_name, pk, num_pub)
+        Fr8 = fp8.field8(r)
+        L16 = self.Fr.L
+
+        def mark(name):
+            if timings is not None:
+                timings[name] = timings.get(name, 0.0) + _time.time() - t0
+            return _time.time()
+
+        # witness evaluation (native C engine) + H pipeline on device
+        az, bz, cz = _abc_evaluations_fast(r1cs, assignment)
+        t0 = mark("witness")
+        dev = [self.Fr.pack(v) for v in (az, bz, cz)]
+        h_dev16 = fft_tpu.h_pipeline_jit(r1cs.qap_degree, r)(*dev)
+        t0 = mark("fft")
+
+        # device-side conversion: Montgomery 16-bit planes -> std 8-bit
+        if not hasattr(self, "_h_to8"):
+            self._h_to8 = bound_jit(
+                [self.Fr],
+                lambda h, n_out: jnp.pad(
+                    fp8.limbs16_to_8(self.Fr.from_mont(h), Fr8.L),
+                    ((0, n_out - h.shape[0]), (0, 0)),
+                ),
+                static_argnums=(1,),
+            )
+        h8 = self._h_to8(h_dev16[: r1cs.qap_degree - 1], dpk.n_g1)
+        asg = [a % r for a in assignment]
+        asg8 = jnp.asarray(
+            fp8.batch_to_limbs8(asg + [0] * (dpk.n_g1 - len(asg)), Fr8.L)
+        )
+        asg8_g2 = asg8[: dpk.n_g2] if dpk.n_g2 <= dpk.n_g1 else jnp.asarray(
+            fp8.batch_to_limbs8(asg + [0] * (dpk.n_g2 - len(asg)), Fr8.L)
+        )
+        l8 = jnp.asarray(
+            fp8.batch_to_limbs8(
+                asg[num_pub:] + [0] * (dpk.n_g1 - len(asg) + num_pub), Fr8.L
+            )
+        )
+        t0 = mark("digitize")
+
+        c_g1 = msm8.default_window(dpk.n_g1)
+        c_g2 = msm8.default_window(dpk.n_g2)
+        m1 = msm8.msm8_jit(self.curve_name, False, c_g1)
+        m2 = msm8.msm8_jit(self.curve_name, True, c_g2)
+        ev_a = m1(asg8, dpk.a_query)
+        ev_b1 = m1(asg8, dpk.b_g1_query)
+        ev_b2 = m2(asg8_g2, dpk.b_g2_query)
+        ev_l = m1(l8, dpk.l_query)
+        ev_h = m1(h8, dpk.h_query)
+        ev_a_h = msm8.unpack_jac_point8(self.curve_name, ev_a)
+        ev_b1_h = msm8.unpack_jac_point8(self.curve_name, ev_b1)
+        ev_b2_h = msm8.unpack_jac_point8(self.curve_name, ev_b2, g2=True)
+        ev_l_h = msm8.unpack_jac_point8(self.curve_name, ev_l)
+        ev_h_h = msm8.unpack_jac_point8(self.curve_name, ev_h)
+        t0 = mark("msm")
+
+        rr = rng.randrange(r)
+        ss = rng.randrange(r)
+        g1, g2 = self.g1_host, self.g2_host
+        A = g1.add(g1.add(dpk.alpha_g1, ev_a_h), g1.mul(rr, dpk.delta_g1))
+        B = g2.add(g2.add(dpk.beta_g2, ev_b2_h), g2.mul(ss, dpk.delta_g2))
+        B1 = g1.add(g1.add(dpk.beta_g1, ev_b1_h), g1.mul(ss, dpk.delta_g1))
+        C = g1.add(
+            g1.add(ev_l_h, ev_h_h),
+            g1.add(
+                g1.add(g1.mul(ss, A), g1.mul(rr, B1)),
+                g1.neg(g1.mul(rr * ss % r, dpk.delta_g1)),
+            ),
+        )
+        mark("assembly")
+        return Groth16Proof(a=A, b=B, c=C)
+
     def prove(
         self,
         r1cs: R1CS,
@@ -292,8 +456,15 @@ class Groth16TPU(TpuSnarkBase):
         assignment: Sequence[int],
         rng: Optional[random.Random] = None,
         device_pk: Optional[DevicePk] = None,
+        timings: Optional[dict] = None,
     ) -> Groth16Proof:
         rng = rng or random.Random()
+        if self.use_msm8 and (
+            device_pk is None or isinstance(device_pk, DevicePk8)
+        ):
+            return self._prove8(
+                r1cs, pk, assignment, rng, device_pk, timings
+            )
         r = self.r
         num_pub = r1cs.num_primary + 1
         dpk = device_pk or pack_pk(self.curve_name, pk, num_pub)
