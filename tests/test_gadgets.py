@@ -202,3 +202,53 @@ def test_blake2s_gadget_matches_host(nbytes):
     w = _finish(pb, extra)
     got = b2.bits_be_to_bytes([pb.lc_val(w, b) for b in digest_bits])
     assert got == hashlib.blake2s(data).digest()
+
+
+def test_sparse_line_mul_matches_full_fq12_mul():
+    """The pairing gadget's sparse line multiplication (36 base muls) must
+    agree with the full Fq12 Karatsuba product (54) and actually save
+    constraints (VERDICT round-1 item 8)."""
+    from zecale_tpu.gadgets.pairing_gadget import BLS12PairingGadget
+
+    rng = random.Random(23)
+    pb = Protoboard(R_W)
+    gt = fe.gadget_towers(pb, "bls12-377")
+    ht = hf.towers("bls12-377")
+    pg = BLS12PairingGadget(pb, gt)
+    H12, H2, Hq = ht["fq12"], ht["fq2"], ht["fq"]
+
+    f_h = H12.rand(rng)
+    yp_h = Hq.rand(rng)
+    lam_h = H2.rand(rng)
+    c_h = H2.rand(rng)
+    # host line value in the _line_fq12 layout: ((yp,0,0), (-lam*xp... here
+    # the B-half entries are arbitrary Fq2 values b0, b1)
+    b0_h, b1_h = lam_h, c_h
+    zero2 = H2.zero()
+    line_h = H12.from_list(
+        H2.to_list(H2.from_list([yp_h, 0]))
+        + H2.to_list(zero2) + H2.to_list(zero2)
+        + H2.to_list(b0_h) + H2.to_list(b1_h) + H2.to_list(zero2)
+    )
+
+    F12, F2 = gt["fq12"], gt["fq2"]
+    f_g = F12.constant(f_h)
+    line_g = (
+        ((LC.const(yp_h), LC()), F2.zero(), F2.zero()),
+        (F2.constant(b0_h), F2.constant(b1_h), F2.zero()),
+    )
+
+    n0 = len(pb.constraints)
+    full = F12.mul(f_g, line_g)
+    n_full = len(pb.constraints) - n0
+
+    n0 = len(pb.constraints)
+    sparse = pg._mul_by_line(f_g, line_g)
+    n_sparse = len(pb.constraints) - n0
+
+    w = _finish(pb)
+    expect = H12.mul(f_h, line_h)
+    assert H12.eq(F12.value(w, full), expect)
+    assert H12.eq(F12.value(w, sparse), expect)
+    # >=30% constraint reduction on the line multiplication
+    assert n_sparse <= 0.7 * n_full, (n_sparse, n_full)

