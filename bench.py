@@ -4,13 +4,15 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Headline metric (BASELINE.json north star): MSM throughput per chip on
-BLS12-377 G1 (the dominant prover kernel).  The reference publishes no
-numbers (README.md:9; BASELINE.md) — ``vs_baseline`` is measured against a
-nominal 1.0 Mpoints/s for the reference's libff Pippenger on a 64-core host
-(typical libff-era throughput for 253-bit scalars on BLS12-377), documented
-here for reproducibility.
+BLS12-377 G1 (the dominant prover kernel), measured with the round-2
+engine (ec/msm8.py: fused Pallas group law, sort-based log-depth bucket
+combining).  The reference publishes no numbers (README.md:9; BASELINE.md)
+— ``vs_baseline`` is against a nominal 1.0 Mpoints/s for the reference's
+libff Pippenger on a 64-core host, documented here for reproducibility.
 
-Extra diagnostic lines go to stderr to keep stdout a single JSON line.
+Diagnostics on stderr: per-phase timings (utils/profiling.py — the libff
+block-profiler analog), FFT pipeline throughput, and the native C engine's
+CPU MSM for cross-checking.  Set BENCH_MSM_N / BENCH_WINDOW_C to resize.
 """
 
 import json
@@ -18,20 +20,19 @@ import os
 import sys
 import time
 
-# Persistent XLA compilation cache (set BEFORE the first jax import): the
-# MSM kernel compile is minutes-long on this 2-vCPU host; cache it across
-# bench invocations.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_zecale")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
 REFERENCE_MSM_MPOINTS_PER_S = 1.0  # nominal 64-core libff baseline
 
-N_POINTS = int(os.environ.get("BENCH_MSM_N", "4096"))
+N_POINTS = int(os.environ.get("BENCH_MSM_N", str(1 << 18)))
 CURVE = os.environ.get("BENCH_CURVE", "bls12-377")
-WINDOW_C = int(os.environ.get("BENCH_WINDOW_C", "8"))
+WINDOW_C = int(os.environ.get("BENCH_WINDOW_C", "0"))
+PHASES_OUT = os.environ.get("BENCH_PHASES", "BENCH_PHASES.json")
 
 
 def log(*a):
@@ -43,16 +44,18 @@ def main() -> int:
 
     import jax
 
-    from zecale_tpu.ec import host_curve as hc, msm_tpu
-    from zecale_tpu.ff import params as P
+    from zecale_tpu.ec import host_curve as hc, msm8
+    from zecale_tpu.ff import fp8, params as P
+    from zecale_tpu.utils.profiling import PhaseProfiler
 
+    prof = PhaseProfiler()
     log(f"devices: {jax.devices()}")
     r = P.CURVES[CURVE].r
     rng = random.Random(42)
     gen = hc.generators(CURVE)[0]
     crv_h = hc.g1_curve(CURVE)
-    log(f"building {N_POINTS} random points (host)...")
-    # random multiples of the generator via cheap doubling chain
+    c = WINDOW_C or msm8.default_window(N_POINTS)
+    log(f"building {N_POINTS} points (64 distinct bases cycled), c={c}...")
     base_pts = []
     pt = gen
     for _ in range(64):
@@ -61,62 +64,76 @@ def main() -> int:
     pts = [base_pts[i % 64] for i in range(N_POINTS)]
     scalars = [rng.randrange(r) for _ in range(N_POINTS)]
 
-    digits = msm_tpu.scalar_digit_planes(scalars, r.bit_length(), WINDOW_C)
-    pts_dev = msm_tpu.pack_g1_points(CURVE, pts)
+    with prof.phase("pack"):
+        Fr8 = fp8.field8(r)
+        scal8 = Fr8.pack(scalars, mont=False)
+        pts_dev = msm8.pack_points_affine8(CURVE, pts)
 
-    fn = msm_tpu.msm_jit(CURVE, False, WINDOW_C)
-    log("compiling MSM kernel...")
-    t0 = time.time()
-    out = fn(digits, pts_dev)
-    _ = np.asarray(out["x"])  # force full materialization (remote backend's
-    # block_until_ready does not block; a host read of the result does)
-    log(f"compile+first run: {time.time() - t0:.1f}s")
+    fn = msm8.msm8_jit(CURVE, False, c)
+    log("compiling MSM kernel (persistent cache applies)...")
+    with prof.phase("compile+first"):
+        out = fn(scal8, pts_dev)
+        _ = np.asarray(out["x"])  # host read = the only reliable fence here
+    log(f"compile+first run: {prof.total('compile+first'):.1f}s")
 
-    # steady state: DISTINCT scalar sets per iteration (a remote backend
-    # could serve repeated identical dispatches from cache), each iteration
-    # fenced by a host read of the (tiny) output point.
     iters = 3
-    variants = [digits] + [
-        msm_tpu.scalar_digit_planes(
-            [rng.randrange(r) for _ in range(N_POINTS)],
-            r.bit_length(),
-            WINDOW_C,
-        )
+    variants = [scal8] + [
+        Fr8.pack([rng.randrange(r) for _ in range(N_POINTS)], mont=False)
         for _ in range(iters - 1)
     ]
-    t0 = time.time()
-    for i in range(iters):
-        o = fn(variants[i], pts_dev)
-        _ = np.asarray(o["x"])
-    dt = (time.time() - t0) / iters
+    with prof.phase("steady"):
+        t0 = time.time()
+        for i in range(iters):
+            o = fn(variants[i], pts_dev)
+            _ = np.asarray(o["x"])[:1]
+        dt = (time.time() - t0) / iters
     mpoints = N_POINTS / dt / 1e6
-    log(f"steady-state MSM: {dt:.3f}s for {N_POINTS} points")
+    log(f"steady-state MSM: {dt*1e3:.0f} ms for {N_POINTS} points")
 
-    # correctness spot check vs host oracle.  The input is 64 distinct bases
-    # cycled N/64 times, so the expected value collapses to 64 scalar
-    # multiplies: sum_j (sum_{i = j mod 64} s_i mod r) * base_j — an exact
-    # oracle that stays cheap at large N.
-    out = fn(digits, pts_dev)
-    got = msm_tpu.unpack_g1_point(CURVE, out)
-    folded = [0] * 64
-    for i, s in enumerate(scalars):
-        folded[i % 64] = (folded[i % 64] + s) % r
-    expect = crv_h.msm(folded, base_pts)
-    ok = got == expect
+    # correctness vs exact folded oracle (64 distinct bases)
+    with prof.phase("verify"):
+        got = msm8.unpack_jac_point8(CURVE, out)
+        folded = [0] * 64
+        for i, s in enumerate(scalars):
+            folded[i % 64] = (folded[i % 64] + s) % r
+        expect = crv_h.msm(folded, base_pts)
+        ok = got == expect
     log(f"correctness vs host oracle: {ok}")
+
+    # diagnostics: native CPU MSM for scale (stderr only)
+    try:
+        from zecale_tpu.native import ec as nec
+
+        if nec.available():
+            n_cpu = min(N_POINTS, 1 << 14)
+            ncv = nec.NativeCurve(CURVE)
+            with prof.phase("native_cpu_msm"):
+                t0 = time.time()
+                ncv.msm(scalars[:n_cpu], pts[:n_cpu])
+                cpu_dt = time.time() - t0
+            log(
+                f"native C MSM (CPU, n={n_cpu}): {cpu_dt*1e3:.0f} ms "
+                f"-> {n_cpu/cpu_dt/1e6:.3f} Mpoints/s"
+            )
+    except Exception as e:  # diagnostics must not fail the bench
+        log(f"native CPU diagnostic skipped: {e}")
+
+    prof.report()
+    try:
+        prof.to_json(PHASES_OUT)
+    except Exception:
+        pass
+
     if not ok:
         log("MSM MISMATCH — benchmark invalid")
         return 1
-
     print(
         json.dumps(
             {
                 "metric": f"msm_{CURVE}_g1_mpoints_per_s_per_chip",
                 "value": round(mpoints, 4),
                 "unit": "Mpoints/s",
-                "vs_baseline": round(
-                    mpoints / REFERENCE_MSM_MPOINTS_PER_S, 4
-                ),
+                "vs_baseline": round(mpoints / REFERENCE_MSM_MPOINTS_PER_S, 4),
             }
         )
     )

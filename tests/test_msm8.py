@@ -1,6 +1,9 @@
 """Differential tests for the round-2 MSM engine (ec/msm8.py) against the
 host oracle, with edge cases: zero scalars, duplicate points, infinity
 inputs, all-equal digits (worst-case bucket skew).
+
+All G1 tests share ONE (n, c) shape so the (expensive) CPU compile of the
+MSM graph happens once per group.
 """
 
 import random
@@ -14,6 +17,7 @@ from zecale_tpu.ff import fp8
 from zecale_tpu.ff import params as P
 
 CURVE = "bls12-377"
+N, C = 64, 6  # shared shape for all G1 tests
 
 
 def _points(n, rng, curve=CURVE, g2=False):
@@ -50,17 +54,16 @@ def test_signed_digits_roundtrip():
         assert acc == sc
 
 
-@pytest.mark.parametrize("n,c", [(64, 5), (300, 8)])
-def test_msm8_g1_differential(n, c):
+def test_msm8_g1_differential():
     rng = random.Random(42)
     r = P.CURVES[CURVE].r
-    pts = _points(n, rng)
-    scalars = [rng.randrange(r) for _ in range(n)]
+    pts = _points(N, rng)
+    scalars = [rng.randrange(r) for _ in range(N)]
     # edge cases: zero scalar, duplicate points, infinity
     scalars[0] = 0
     pts[1] = pts[2]
     pts[3] = None
-    got = msm8.msm8(CURVE, scalars, pts, c=c)
+    got = msm8.msm8(CURVE, scalars, pts, c=C)
     crv = hc.g1_curve(CURVE)
     expect = crv.msm(
         [s for s, p in zip(scalars, pts) if p is not None],
@@ -73,28 +76,30 @@ def test_msm8_g1_skewed_digits():
     """All-equal scalars: every point lands in the same bucket (worst-case
     combining depth exercises the fixed-width scan tail)."""
     rng = random.Random(7)
-    n = 96
-    pts = _points(n, rng)
+    pts = _points(N, rng)
     r = P.CURVES[CURVE].r
     s = rng.randrange(r)
-    scalars = [s] * n
-    got = msm8.msm8(CURVE, scalars, pts, c=6)
+    scalars = [s] * N
+    got = msm8.msm8(CURVE, scalars, pts, c=C)
     expect = hc.g1_curve(CURVE).msm(scalars, pts)
     assert got == expect
 
 
 def test_msm8_g1_tiny_and_identity():
+    """Tiny cases padded to the shared shape (no extra compile)."""
     rng = random.Random(3)
-    pts = _points(4, rng)
     r = P.CURVES[CURVE].r
-    assert msm8.msm8(CURVE, [0, 0, 0, 0], pts, c=5) is None
-    got = msm8.msm8(CURVE, [1, 0, 0, 0], pts, c=5)
+    pts = _points(4, rng) + [None] * (N - 4)
+    z = [0] * (N - 4)
+    assert msm8.msm8(CURVE, [0, 0, 0, 0] + z, pts, c=C) is None
+    got = msm8.msm8(CURVE, [1, 0, 0, 0] + z, pts, c=C)
     assert got == pts[0]
-    got = msm8.msm8(CURVE, [1, 1, r - 1, 2], pts, c=5)
+    got = msm8.msm8(CURVE, [1, 1, r - 1, 2] + z, pts, c=C)
     crv = hc.g1_curve(CURVE)
-    assert got == crv.msm([1, 1, r - 1, 2], pts)
+    assert got == crv.msm([1, 1, r - 1, 2], pts[:4])
 
 
+@pytest.mark.slow
 def test_msm8_g2_differential():
     rng = random.Random(11)
     n = 48
@@ -103,7 +108,7 @@ def test_msm8_g2_differential():
     scalars = [rng.randrange(r) for _ in range(n)]
     scalars[5] = 0
     pts[7] = None
-    got = msm8.msm8(CURVE, scalars, pts, g2=True, c=6)
+    got = msm8.msm8(CURVE, scalars, pts, g2=True, c=C)
     crv = hc.g2_curve(CURVE)
     expect = crv.msm(
         [s for s, p in zip(scalars, pts) if p is not None],
@@ -112,12 +117,13 @@ def test_msm8_g2_differential():
     assert got == expect
 
 
+@pytest.mark.slow
 def test_msm8_bw6_g1_differential():
     rng = random.Random(13)
     n = 40
     pts = _points(n, rng, curve="bw6-761")
     r = P.CURVES["bw6-761"].r
     scalars = [rng.randrange(r) for _ in range(n)]
-    got = msm8.msm8("bw6-761", scalars, pts, c=6)
+    got = msm8.msm8("bw6-761", scalars, pts, c=C)
     expect = hc.g1_curve("bw6-761").msm(scalars, pts)
     assert got == expect

@@ -35,6 +35,11 @@ from ..ff import params as P
 
 DEFAULT_BT = 256
 
+#: Mosaic allocates kernel temporaries on a 16 MB VMEM stack without full
+#: liveness reuse; the fused group-law kernels need per-kernel block caps
+#: (measured: the affine-affine kernel OOMs scoped vmem at bt=256).
+BT_CAP = {"jac_add": 128, "jac_dbl": 256, "aff_add": 64}
+
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
@@ -389,9 +394,9 @@ class PallasG1Curve:
         self.curve_name = curve_name
         self.F = fp8.field8(P.CURVES[curve_name].q)
         self.bt = bt
-        self._add = _build_jac_add(curve_name, bt)
-        self._dbl = _build_jac_dbl(curve_name, bt)
-        self._aff = _build_aff_add(curve_name, bt)
+        self._add = _build_jac_add(curve_name, min(bt, BT_CAP["jac_add"]))
+        self._dbl = _build_jac_dbl(curve_name, min(bt, BT_CAP["jac_dbl"]))
+        self._aff = _build_aff_add(curve_name, min(bt, BT_CAP["aff_add"]))
 
     # -- kernel-backed ops ------------------------------------------------
     def add(self, p, q):

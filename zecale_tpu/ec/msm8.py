@@ -260,25 +260,35 @@ def signed_digits_from_limbs8(scal8, nbits: int, c: int):
 
 
 def _round_schedule(n: int, K: int):
-    """(unrolled sizes, number of fixed-size scan rounds, scan width).
+    """Combining-round schedule: (unrolled sizes, scanA rounds, widthB,
+    scanB rounds).
 
     After round t every bucket holds <= ceil(n / 2^t) elements and the
-    compacted array holds <= ceil(n/2^t) + K live entries.  We unroll
-    rounds while that bound shrinks, then finish the remaining
-    ceil(log2 n) rounds at a fixed width under lax.scan.
+    compacted array holds <= ceil(n/2^t) + K live entries.  Compile-time
+    control (every distinct round width is a separately compiled kernel
+    site): unroll only the few fast-shrinking rounds, run 4 rounds under
+    ONE lax.scan at the last unrolled width, slice to the now-guaranteed
+    smaller width, and finish the remaining ceil(log2 n) rounds under a
+    second fixed-width scan.
     """
     total = max(1, math.ceil(math.log2(max(n, 2))))
     sizes = []
     t = 0
-    while t < total:
+    while t < min(total, 4):
         nxt = -(-n // (1 << (t + 1))) + K + 1
         if nxt >= (sizes[-1] if sizes else n):
             break
         sizes.append(nxt)
         t += 1
-    scan_rounds = total - t
-    scan_width = sizes[-1] if sizes else n
-    return sizes, scan_rounds, scan_width
+    if t >= total:
+        return sizes, 0, 0, 0
+    scan_a = min(4, total - t)
+    t += scan_a
+    scan_b = total - t
+    width_b = min(
+        sizes[-1] if sizes else n, -(-n // (1 << t)) + K + 1
+    )
+    return sizes, scan_a, width_b, scan_b
 
 
 def _gather_pt(pt, idx):
@@ -391,7 +401,7 @@ def msm8_core(crv, F, buckets, signs, pts_aff, c: int):
 
     # pairwise same-bucket combining rounds
     z_one = F.one_mont_elem()
-    sizes, scan_rounds, _ = _round_schedule(N, W * K)
+    sizes, scan_a, width_b, scan_b = _round_schedule(N, W * K)
     if sizes:
         keys, pts = _combine_round_affine(crv, keys, aff, sizes[0], z_one)
         for s_next in sizes[1:]:
@@ -403,7 +413,8 @@ def msm8_core(crv, F, buckets, signs, pts_aff, c: int):
             aff["y"],
             F.select(aff["inf"], jnp.zeros_like(zb), zb),
         )
-    if scan_rounds > 0:
+
+    def scan_rounds(keys, pts, n_rounds):
         w = keys.shape[0]
 
         def body(carry, _):
@@ -412,32 +423,82 @@ def msm8_core(crv, F, buckets, signs, pts_aff, c: int):
             return (ks, ps), None
 
         (keys, pts), _ = jax.lax.scan(
-            body, (keys, pts), None, length=scan_rounds
+            body, (keys, pts), None, length=n_rounds
         )
+        return keys, pts
 
-    # dense bucket extraction: (K, W) layout — bucket axis 0 so the
-    # suffix scan and tree reduction batch over windows
+    if scan_a > 0:
+        keys, pts = scan_rounds(keys, pts, scan_a)
+    if scan_b > 0:
+        # survivors are compacted to the front each round: a slice is a
+        # valid re-compaction once the live bound has shrunk
+        keys = keys[:width_b]
+        pts = {k: v[:width_b] for k, v in pts.items()}
+        keys, pts = scan_rounds(keys, pts, scan_b)
+
+    # dense bucket extraction in (M, G, W) chunked layout:
+    # bucket id b = hi*G + g + 1 (hi chunk index, g in-chunk index)
+    G = min(K, 64)
+    M = K // G
     bk = jnp.arange(1, K + 1, dtype=jnp.int32)[:, None]  # (K, 1)
     ids = (bk + wids.T * stride).reshape(-1)  # (K*W,) bucket-major
     pos = jnp.searchsorted(keys, ids, side="left").astype(jnp.int32)
     posc = jnp.clip(pos, 0, keys.shape[0] - 1)
     hit = (pos < keys.shape[0]) & (keys[posc] == ids)
     bpts = crv.mask(_gather_pt(pts, posc), hit)
-    bpts = {
-        k: v.reshape(K, W, *v.shape[1:]) for k, v in bpts.items()
-    }
+    bpts = {k: v.reshape(M, G, W, *v.shape[1:]) for k, v in bpts.items()}
 
-    # weighted bucket reduction per window:
-    # sum_b b*B_b = sum_k suffix_k, suffix via log-depth reverse scan
-    suffix = jax.lax.associative_scan(crv.add, bpts, reverse=True, axis=0)
-    partials = _axis0_tree_reduce(crv, suffix)  # (W, ...) window sums
+    # weighted bucket reduction, compile-lean:
+    #   sum_b b*B_b = G * sum_g (sum_hi hi*B[hi,g]) + sum_g (g+1)*C_g
+    # scan 1 (over chunks, high to low): per-(g, w) lane
+    #   wacc += run ; run += B[hi]   ->  wacc = sum hi*B,  run = C
+    def chunk_body(carry, b_hi):
+        run, wacc = carry
+        wacc = crv.add(wacc, run)
+        run = crv.add(run, b_hi)
+        return (run, wacc), None
+
+    zero_gw = jax.tree_util.tree_map(lambda v: jnp.zeros_like(v[0]), bpts)
+    rev_chunks = jax.tree_util.tree_map(lambda v: jnp.flip(v, 0), bpts)
+    (col_sums, wsums), _ = jax.lax.scan(
+        chunk_body, (zero_gw, zero_gw), rev_chunks
+    )
+
+    # scan 2 (over in-chunk index, high to low): per-w lane
+    #   acc2 += run2 ; run2 += C_g ; wtot += W1_g
+    def g_body(carry, xs):
+        run2, acc2, wtot = carry
+        c_g, w1_g = xs
+        acc2 = crv.add(acc2, run2)
+        run2 = crv.add(run2, c_g)
+        wtot = crv.add(wtot, w1_g)
+        return (run2, acc2, wtot), None
+
+    zero_w = jax.tree_util.tree_map(lambda v: jnp.zeros_like(v[0]), col_sums)
+    rev_g = (
+        jax.tree_util.tree_map(lambda v: jnp.flip(v, 0), col_sums),
+        jax.tree_util.tree_map(lambda v: jnp.flip(v, 0), wsums),
+    )
+    (run2, acc2, wtot), _ = jax.lax.scan(
+        g_body, (zero_w, zero_w, zero_w), rev_g
+    )
+    # total = acc2 + run2 + G * wtot   (G = 2^g2: log2(G) doublings)
+    g2bits = G.bit_length() - 1
+
+    def dbl_body(_, p):
+        return crv.dbl(p)
+
+    gw = jax.lax.fori_loop(0, g2bits, dbl_body, wtot)
+    partials = crv.add(crv.add(acc2, run2), gw)  # (W, ...) window sums
 
     # Horner fold, most-significant window first
     rev = jax.tree_util.tree_map(lambda x: jnp.flip(x, 0), partials)
 
     def fold(acc, part):
-        for _ in range(c):
-            acc = crv.dbl(acc)
+        def dblc(_, p):
+            return crv.dbl(p)
+
+        acc = jax.lax.fori_loop(0, c, dblc, acc)
         return crv.add(acc, part), None
 
     acc0 = jax.tree_util.tree_map(lambda v: jnp.zeros_like(v[0]), rev)
@@ -451,16 +512,17 @@ def msm8_core(crv, F, buckets, signs, pts_aff, c: int):
 
 
 def default_window(n: int) -> int:
-    """Bucket-window width: ~log2(n) balances accumulation vs reduction."""
+    """Bucket-window width: balances accumulation adds (W*n) against the
+    fixed-width combining tail + weighted reduction (both ~W*2^(c-1))."""
     if n <= 1 << 10:
-        return 8
+        return 7
     if n <= 1 << 13:
-        return 10
+        return 9
     if n <= 1 << 16:
-        return 12
+        return 11
     if n <= 1 << 19:
-        return 14
-    return 16
+        return 13
+    return 15
 
 
 def _pallas_supported(curve_name: str, g2: bool) -> bool:
