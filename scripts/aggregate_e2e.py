@@ -36,7 +36,7 @@ def main():
     from zecale_tpu.aggregator import dummy_app as da
     from zecale_tpu.aggregator.circuit import AggregatorCircuit
     from zecale_tpu.snark.groth16 import ExtendedProof, Groth16
-    from zecale_tpu.snark.groth16_tpu import Groth16TPU, pack_pk
+    from zecale_tpu.snark.groth16_tpu import Groth16TPU, pack_pk8
 
     rng = random.Random(11)
 
@@ -64,7 +64,7 @@ def main():
         print(f"[2] circuit built: {time.time()-t0:.1f}s "
               f"({circ.r1cs.num_constraints} constraints)", flush=True)
 
-    # 3. wrapper trusted setup (TPU), cached
+    # 3. wrapper trusted setup (native C engine when available), cached
     prover = Groth16TPU("bw6-761")
     kp_cache = os.path.join(args.cache, f"keypair_b{args.batch}.pkl")
     t0 = time.time()
@@ -73,14 +73,19 @@ def main():
             wkp = pickle.load(f)
         print(f"[3] keypair loaded: {time.time()-t0:.1f}s", flush=True)
     else:
-        wkp = prover.generate_setup(circ.r1cs, rng)
+        from zecale_tpu.native import ec as _nec
+        if _nec.available():
+            from zecale_tpu.snark.groth16_native import Groth16Native
+            wkp = Groth16Native("bw6-761").generate_setup(circ.r1cs, rng)
+        else:
+            wkp = prover.generate_setup(circ.r1cs, rng)
         with open(kp_cache, "wb") as f:
             pickle.dump(wkp, f)
         print(f"[3] trusted setup (TPU): {time.time()-t0:.1f}s", flush=True)
 
-    # 4. device-resident pk
+    # 4. device-resident pk (round-2 affine 8-bit packing)
     t0 = time.time()
-    dpk = pack_pk("bw6-761", wkp.pk, circ.r1cs.num_primary + 1)
+    dpk = pack_pk8("bw6-761", wkp.pk, circ.r1cs.num_primary + 1)
     print(f"[4] pk packed to device: {time.time()-t0:.1f}s", flush=True)
 
     # 5. wrapping proof (TPU)
@@ -150,7 +155,13 @@ class _DeviceProver:
         self.dpk = dpk
 
     def prove(self, r1cs, pk, assignment, rng=None):
-        return self.prover.prove(r1cs, pk, assignment, rng, device_pk=self.dpk)
+        timings = {}
+        proof = self.prover.prove(
+            r1cs, pk, assignment, rng, device_pk=self.dpk, timings=timings
+        )
+        print("    prover phases:",
+              {k: round(v, 2) for k, v in timings.items()}, flush=True)
+        return proof
 
 
 if __name__ == "__main__":

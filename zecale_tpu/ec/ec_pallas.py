@@ -37,8 +37,13 @@ DEFAULT_BT = 256
 
 #: Mosaic allocates kernel temporaries on a 16 MB VMEM stack without full
 #: liveness reuse; the fused group-law kernels need per-kernel block caps
-#: (measured: the affine-affine kernel OOMs scoped vmem at bt=256).
-BT_CAP = {"jac_add": 128, "jac_dbl": 256, "aff_add": 64}
+#: (measured: the affine-affine kernel OOMs scoped vmem at bt=256 for
+#: L=48).  Caps scale inversely with the limb count.
+_BT_CAP48 = {"jac_add": 256, "jac_dbl": 256, "aff_add": 64}
+
+
+def _bt_cap(op: str, L: int) -> int:
+    return max(32, _BT_CAP48[op] * 48 // L)
 
 
 def _interpret() -> bool:
@@ -394,9 +399,10 @@ class PallasG1Curve:
         self.curve_name = curve_name
         self.F = fp8.field8(P.CURVES[curve_name].q)
         self.bt = bt
-        self._add = _build_jac_add(curve_name, min(bt, BT_CAP["jac_add"]))
-        self._dbl = _build_jac_dbl(curve_name, min(bt, BT_CAP["jac_dbl"]))
-        self._aff = _build_aff_add(curve_name, min(bt, BT_CAP["aff_add"]))
+        L = self.F.L
+        self._add = _build_jac_add(curve_name, min(bt, _bt_cap("jac_add", L)))
+        self._dbl = _build_jac_dbl(curve_name, min(bt, _bt_cap("jac_dbl", L)))
+        self._aff = _build_aff_add(curve_name, min(bt, _bt_cap("aff_add", L)))
 
     # -- kernel-backed ops ------------------------------------------------
     def add(self, p, q):

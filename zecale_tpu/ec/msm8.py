@@ -148,6 +148,10 @@ class Fp28TPU:
 
 @functools.lru_cache(maxsize=None)
 def g1_curve8(curve_name: str) -> JacCurve:
+    assert P.CURVES[curve_name].a == 0, (
+        "msm8 uses a=0 group-law kernels (BLS12-377/BW6-761); MNT curves "
+        "take the host/native path"
+    )
     return JacCurve(fp8.field8(P.CURVES[curve_name].q))
 
 
