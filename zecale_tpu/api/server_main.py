@@ -62,7 +62,11 @@ def main(argv=None) -> int:
     ap.add_argument(
         "--r1cs", default=None, help="dump the wrapper R1CS to this JSON path"
     )
-    ap.add_argument("--prover", choices=["host", "tpu"], default="tpu")
+    ap.add_argument(
+        "--prover", choices=["host", "native", "tpu"], default="tpu",
+        help="tpu = JAX/Pallas prover; native = C engine (no accelerator); "
+             "host = pure-Python oracle",
+    )
     ap.add_argument(
         "--snark",
         choices=["GROTH16", "PGHR13"],
@@ -116,6 +120,11 @@ def main(argv=None) -> int:
             from ..snark.pghr13_tpu import Pghr13TPU
 
             prover = Pghr13TPU(args.curve)
+    elif args.prover == "native":
+        assert args.snark == "GROTH16", "native prover supports GROTH16"
+        from ..snark.groth16_native import Groth16Native
+
+        prover = Groth16Native(args.curve)
 
     if args.r1cs:
         rows, = ({"constraints": circuit.r1cs.num_constraints},)

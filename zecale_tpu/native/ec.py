@@ -140,6 +140,7 @@ class NativeCurve:
             _ptr(nr_m),
             _ptr(a_m),
         )
+        self._rinv = pow(R, self.p - 2, self.p)
         self.one_m = self._elem_to_mont(1 if self.k == 1 else (1, 0))
         # Fermat exponent for inversion in the coordinate field
         inv_exp = (self.p - 2) if self.k == 1 else (self.p * self.p - 2)
@@ -158,7 +159,7 @@ class NativeCurve:
         )
 
     def _elem_from_mont(self, a: np.ndarray):
-        rinv = pow(self._R, self.p - 2, self.p)
+        rinv = self._rinv
         if self.k == 1:
             return _u64_to_int(a[: self.nl]) * rinv % self.p
         return (
@@ -282,6 +283,7 @@ class NativeScalarField:
             ctypes.c_int(1),
             _ptr(np.zeros(self.nl, dtype=np.uint64)),
         )
+        self._rinv = pow(R, r - 2, r)
         self.one_m = _u64s(R % r, self.nl)
 
     def to_mont(self, vals: Sequence[int]) -> np.ndarray:
@@ -289,7 +291,7 @@ class NativeScalarField:
                             self.nl)
 
     def from_mont(self, arr: np.ndarray) -> List[int]:
-        rinv = pow(self._R, self.r - 2, self.r)
+        rinv = self._rinv
         buf = arr.reshape(-1, self.nl)
         return [
             _u64_to_int(buf[i]) * rinv % self.r for i in range(buf.shape[0])
