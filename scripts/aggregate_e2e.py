@@ -49,18 +49,29 @@ def main():
     # 2. wrapper circuit
     t0 = time.time()
     circ_cache = os.path.join(args.cache, f"circuit_b{args.batch}.pkl")
+    circ = None
     if os.path.exists(circ_cache):
-        with open(circ_cache, "rb") as f:
-            circ = pickle.load(f)
-        print(f"[2] circuit loaded: {time.time()-t0:.1f}s "
-              f"({circ.r1cs.num_constraints} constraints)", flush=True)
-    else:
+        try:
+            with open(circ_cache, "rb") as f:
+                circ = pickle.load(f)
+            print(f"[2] circuit loaded: {time.time()-t0:.1f}s "
+                  f"({circ.r1cs.num_constraints} constraints)", flush=True)
+        except Exception as e:
+            print(f"    (stale circuit cache ignored: {e})", flush=True)
+            os.unlink(circ_cache)
+            circ = None
+    if circ is None:
         circ = AggregatorCircuit(1, args.batch)
         try:
-            with open(circ_cache, "wb") as f:
+            tmp = circ_cache + ".tmp"
+            with open(tmp, "wb") as f:
                 pickle.dump(circ, f)
+            os.replace(tmp, circ_cache)
         except Exception as e:
             print(f"    (circuit not cacheable: {e})")
+            for p in (circ_cache, circ_cache + ".tmp"):
+                if os.path.exists(p):
+                    os.unlink(p)
         print(f"[2] circuit built: {time.time()-t0:.1f}s "
               f"({circ.r1cs.num_constraints} constraints)", flush=True)
 

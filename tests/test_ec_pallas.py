@@ -106,3 +106,52 @@ def test_pallas_nonuniform_batch_pad(pcrv):
     ja = _pack_jac(CURVE, pts)
     got = _unpack_all(CURVE, pcrv.dbl(ja))
     assert got == [crv_h.dbl(p) for p in pts]
+
+
+def test_pallas_g2_fq2_add_differential():
+    """BLS12-377 G2 (Fq2 coordinates) through the Fq2 kernel family."""
+    rng = random.Random(5)
+    n = 6
+    crv_h = hc.g2_curve(CURVE)
+    gen = hc.generators(CURVE)[1]
+    pts_a, p = [], gen
+    for _ in range(n):
+        pts_a.append(p)
+        p = crv_h.add(crv_h.dbl(p), gen)
+    pts_b = list(reversed(pts_a))
+    pts_b[0] = pts_a[0]  # doubling case
+    pts_a[1] = None      # infinity
+
+    pcrv2 = ec_pallas.PallasG1Curve(CURVE, bt=8, g2=True)
+    F2 = pcrv2.F
+    a1 = msm8.pack_points_affine8(CURVE, pts_a, g2=True)
+    a2 = msm8.pack_points_affine8(CURVE, pts_b, g2=True)
+    out = pcrv2.add_affine_affine(a1, a2)
+    got = [
+        msm8.unpack_jac_point8(
+            CURVE, {k: v[i] for k, v in out.items()}, g2=True
+        )
+        for i in range(n)
+    ]
+    expect = [crv_h.add(x, y) if x and y else (y if not x else x)
+              for x, y in zip(pts_a, pts_b)]
+    assert got == expect
+    # and a doubling through the jac kernel
+    one2 = F2.one_mont_elem()
+    jac = {
+        "x": a1["x"],
+        "y": a1["y"],
+        "z": jnp.where(
+            a1["inf"][:, None, None],
+            jnp.zeros_like(a1["x"]),
+            jnp.broadcast_to(one2, a1["x"].shape),
+        ),
+    }
+    out2 = pcrv2.dbl(jac)
+    got2 = [
+        msm8.unpack_jac_point8(
+            CURVE, {k: v[i] for k, v in out2.items()}, g2=True
+        )
+        for i in range(n)
+    ]
+    assert got2 == [crv_h.dbl(x) if x else None for x in pts_a]

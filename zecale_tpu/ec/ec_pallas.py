@@ -6,11 +6,15 @@ point coordinates — the round-1 design materialized every intermediate
 (B, L^2) convolution operand through HBM, which capped the whole MSM at
 ~250 GB/s of pure traffic.
 
-Layout strategy: points arrive batch-major (B, L) (gather/sort friendly);
-the kernel transposes each block to limb-major (L, Bt) so the batch axis
-fills all 128 VPU lanes (a (B, 48) layout wastes 62% of them), and batches
-every independent field multiplication of a formula round into ONE
-convolution call (concatenated along lanes) to feed the MXU wide matmuls.
+Layout strategy: points arrive batch-major (B, EW) (gather/sort friendly;
+EW = limbs, 2x limbs for Fq2 coordinates); the kernel transposes each block
+to limb-major (EW, Bt) so the batch axis fills all 128 VPU lanes (a (B, 48)
+layout wastes 62% of them).
+
+The group-law bodies are generic over a field-ops object: _BaseOps (Fq,
+fp8t helpers) and _Fq2Ops (Karatsuba over coordinate halves) — the same
+formulas serve G1 of BLS12-377/BW6-761, BW6-761 G2 (coords in Fq) and
+BLS12-377 G2 (coords in Fq2).
 
 Formulas mirror ec/curve_jax.py (dbl-2009-l, add-2007-bl, mmadd/
 mdbl-2007-bl) including the unified special-case handling, so the kernels
@@ -38,82 +42,169 @@ DEFAULT_BT = 256
 #: Mosaic allocates kernel temporaries on a 16 MB VMEM stack without full
 #: liveness reuse; the fused group-law kernels need per-kernel block caps
 #: (measured: the affine-affine kernel OOMs scoped vmem at bt=256 for
-#: L=48).  Caps scale inversely with the limb count.
-_BT_CAP48 = {"jac_add": 256, "jac_dbl": 256, "aff_add": 64}
+#: L=48, and at bt=32 for L=96 — caps scale ~quadratically with limbs).
+_BT_CAP48 = {"jac_add": 128, "jac_dbl": 256, "aff_add": 64}
 
 
-def _bt_cap(op: str, L: int) -> int:
-    return max(32, _BT_CAP48[op] * 48 // L)
+def _bt_cap(op: str, width_units: int) -> int:
+    """width_units: total element width relative to L=48 (1 = BLS Fq,
+    2 = BW6 Fq or BLS Fq2)."""
+    if width_units <= 1:
+        return _BT_CAP48[op]
+    return max(16, _BT_CAP48[op] // (width_units * width_units))
 
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _muls(tc, *pairs):
-    """Independent field muls of one formula round.
-
-    (A lane-concat batching of these into one wide convolution trips a
-    Mosaic NotImplemented — tpu.concatenate with mismatched sublane
-    offsets — so they are issued per pair; each mul already fills two
-    full lane tiles at the default block size.)"""
-    return [fp8t.mont_mul_t(a, b, tc) for a, b in pairs]
-
-
 # ---------------------------------------------------------------------------
-# kernel bodies (transposed, batched-mul formula schedules)
+# field-ops objects used inside kernel bodies (transposed (EW, B) arrays)
 # ---------------------------------------------------------------------------
 
 
-def _jac_add_t(tc, X1, Y1, Z1, X2, Y2, Z2):
-    """Unified Jacobian P+Q on (L, B) coords; returns (X3, Y3, Z3)."""
-    S = lambda a, b: fp8t.sub_t(a, b, tc)
-    A = lambda a, b: fp8t.add_t(a, b, tc)
-    D = lambda a: fp8t.double_t(a, tc)
+class _BaseOps:
+    """Fq ops on (L, B) transposed limb planes."""
 
-    # round 1: [Z1^2, Z2^2, A=X1^2, B=Y1^2, ZZsum=(Z1+Z2)^2]
-    Z1pZ2 = A(Z1, Z2)
-    Z1Z1, Z2Z2, Ad, Bd, ZZs = _muls(
-        tc, (Z1, Z1), (Z2, Z2), (X1, X1), (Y1, Y1), (Z1pZ2, Z1pZ2)
-    )
-    # round 2: [U1, U2, t1=Z2*Z2Z2, t2=Z1*Z1Z1, C=B^2, (X1+B)^2]
-    X1pB = A(X1, Bd)
-    U1, U2, t1, t2, Cd, XB2 = _muls(
-        tc, (X1, Z2Z2), (X2, Z1Z1), (Z2, Z2Z2), (Z1, Z1Z1), (Bd, Bd),
-        (X1pB, X1pB)
-    )
+    def __init__(self, tc):
+        self.tc = tc
+
+    def mul(self, a, b):
+        return fp8t.mont_mul_t(a, b, self.tc)
+
+    def sqr(self, a):
+        return fp8t.mont_mul_t(a, a, self.tc)
+
+    def add(self, a, b):
+        return fp8t.add_t(a, b, self.tc)
+
+    def sub(self, a, b):
+        return fp8t.sub_t(a, b, self.tc)
+
+    def dbl(self, a):
+        return fp8t.double_t(a, self.tc)
+
+    def is_zero(self, a):
+        return fp8t.is_zero_t(a)
+
+    def select(self, cond, t, f):
+        return fp8t.select_t(cond, t, f)
+
+    def one_like(self, a):
+        return jnp.broadcast_to(self.tc["one_mont"], a.shape)
+
+
+class _Fq2Ops:
+    """Fq2 ops on (2L, B) stacked coordinate planes (c0 rows then c1)."""
+
+    def __init__(self, tc, nr_t):
+        self.tc = tc
+        self.nr_t = nr_t  # (L, 1) Montgomery non-residue
+        self.L = tc["L"]
+
+    def _split(self, a):
+        return a[: self.L], a[self.L :]
+
+    def _cat(self, c0, c1):
+        return jnp.concatenate([c0, c1], axis=0)
+
+    def _per(self, fn, a, b=None):
+        a0, a1 = self._split(a)
+        if b is None:
+            return self._cat(fn(a0), fn(a1))
+        b0, b1 = self._split(b)
+        return self._cat(fn(a0, b0), fn(a1, b1))
+
+    def add(self, a, b):
+        return self._per(lambda x, y: fp8t.add_t(x, y, self.tc), a, b)
+
+    def sub(self, a, b):
+        return self._per(lambda x, y: fp8t.sub_t(x, y, self.tc), a, b)
+
+    def dbl(self, a):
+        return self._per(lambda x: fp8t.double_t(x, self.tc), a)
+
+    def mul(self, a, b):
+        tc = self.tc
+        a0, a1 = self._split(a)
+        b0, b1 = self._split(b)
+        t0 = fp8t.mont_mul_t(a0, b0, tc)
+        t1 = fp8t.mont_mul_t(a1, b1, tc)
+        sa = fp8t.add_t(a0, a1, tc)
+        sb = fp8t.add_t(b0, b1, tc)
+        mid = fp8t.sub_t(
+            fp8t.sub_t(fp8t.mont_mul_t(sa, sb, tc), t0, tc), t1, tc
+        )
+        nr = jnp.broadcast_to(self.nr_t, t1.shape)
+        c0 = fp8t.add_t(t0, fp8t.mont_mul_t(t1, nr, tc), tc)
+        return self._cat(c0, mid)
+
+    def sqr(self, a):
+        return self.mul(a, a)
+
+    def is_zero(self, a):
+        return fp8t.is_zero_t(a)  # all 2L rows zero
+
+    def select(self, cond, t, f):
+        return jnp.where(cond[None], t, f)
+
+    def one_like(self, a):
+        one = jnp.broadcast_to(self.tc["one_mont"], (self.L, a.shape[1]))
+        return jnp.concatenate([one, jnp.zeros_like(one)], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# kernel bodies (generic over the ops object)
+# ---------------------------------------------------------------------------
+
+
+def _jac_add_t(F, X1, Y1, Z1, X2, Y2, Z2):
+    """Unified Jacobian P+Q; returns (X3, Y3, Z3).  a=0 curves."""
+    S, A, D = F.sub, F.add, F.dbl
+    Z1Z1 = F.sqr(Z1)
+    Z2Z2 = F.sqr(Z2)
+    Ad = F.sqr(X1)
+    Bd = F.sqr(Y1)
+    ZZs = F.sqr(A(Z1, Z2))
+    U1 = F.mul(X1, Z2Z2)
+    U2 = F.mul(X2, Z1Z1)
+    t1 = F.mul(Z2, Z2Z2)
+    t2 = F.mul(Z1, Z1Z1)
+    Cd = F.sqr(Bd)
+    XB2 = F.sqr(A(X1, Bd))
     H = S(U2, U1)
     Ed = A(D(Ad), Ad)  # 3A
-    # round 3: [S1, S2, I=(2H)^2, F=E^2, YZ=Y1*Z1]
-    H2 = D(H)
-    S1, S2, I, Fd, YZ = _muls(
-        tc, (Y1, t1), (Y2, t2), (H2, H2), (Ed, Ed), (Y1, Z1)
-    )
+    S1 = F.mul(Y1, t1)
+    S2 = F.mul(Y2, t2)
+    I = F.sqr(D(H))
+    Fd = F.sqr(Ed)
+    YZ = F.mul(Y1, Z1)
     Rr = S(S2, S1)
     r2 = D(Rr)
-    Dd = D(S(S(XB2, Ad), Cd))  # 2((X1+B)^2 - A - C)
+    Dd = D(S(S(XB2, Ad), Cd))
     Xd = S(Fd, D(Dd))
-    # round 4: [J=H*I, V=U1*I, r2^2, E*(D-Xd), Z3core=(ZZs-Z1Z1-Z2Z2)*H]
     ZZc = S(S(ZZs, Z1Z1), Z2Z2)
-    J, V, R2S, EDX, Z3 = _muls(
-        tc, (H, I), (U1, I), (r2, r2), (Ed, S(Dd, Xd)), (ZZc, H)
-    )
+    J = F.mul(H, I)
+    V = F.mul(U1, I)
+    R2S = F.sqr(r2)
+    EDX = F.mul(Ed, S(Dd, Xd))
+    Z3 = F.mul(ZZc, H)
     X3 = S(S(R2S, J), D(V))
     eightC = D(D(D(Cd)))
     Yd = S(EDX, eightC)
     Zd = D(YZ)
-    # round 5: [r2*(V-X3), S1*J]
-    T1, T2 = _muls(tc, (r2, S(V, X3)), (S1, J))
+    T1 = F.mul(r2, S(V, X3))
+    T2 = F.mul(S1, J)
     Y3 = S(T1, D(T2))
 
-    p_inf = fp8t.is_zero_t(Z1)
-    q_inf = fp8t.is_zero_t(Z2)
-    h_zero = fp8t.is_zero_t(H)
-    r_zero = fp8t.is_zero_t(Rr)
+    p_inf = F.is_zero(Z1)
+    q_inf = F.is_zero(Z2)
+    h_zero = F.is_zero(H)
+    r_zero = F.is_zero(Rr)
     dbl_case = h_zero & r_zero & ~p_inf & ~q_inf
     inv_case = h_zero & ~r_zero & ~p_inf & ~q_inf
 
-    sel = fp8t.select_t
+    sel = F.select
     ox = sel(dbl_case, Xd, X3)
     oy = sel(dbl_case, Yd, Y3)
     oz = sel(dbl_case, Zd, Z3)
@@ -128,57 +219,61 @@ def _jac_add_t(tc, X1, Y1, Z1, X2, Y2, Z2):
     return ox, oy, oz
 
 
-def _jac_dbl_t(tc, X1, Y1, Z1):
-    S = lambda a, b: fp8t.sub_t(a, b, tc)
-    A = lambda a, b: fp8t.add_t(a, b, tc)
-    D = lambda a: fp8t.double_t(a, tc)
-    Ad, Bd, YZ = _muls(tc, (X1, X1), (Y1, Y1), (Y1, Z1))
+def _jac_dbl_t(F, X1, Y1, Z1):
+    S, A, D = F.sub, F.add, F.dbl
+    Ad = F.sqr(X1)
+    Bd = F.sqr(Y1)
+    YZ = F.mul(Y1, Z1)
     X1pB = A(X1, Bd)
     Ed = A(D(Ad), Ad)
-    Cd, XB2, Fd = _muls(tc, (Bd, Bd), (X1pB, X1pB), (Ed, Ed))
+    Cd = F.sqr(Bd)
+    XB2 = F.sqr(X1pB)
+    Fd = F.sqr(Ed)
     Dd = D(S(S(XB2, Ad), Cd))
     X3 = S(Fd, D(Dd))
-    (EDX,) = _muls(tc, (Ed, S(Dd, X3)))
+    EDX = F.mul(Ed, S(Dd, X3))
     Y3 = S(EDX, D(D(D(Cd))))
     Z3 = D(YZ)
     return X3, Y3, Z3
 
 
-def _aff_aff_add_t(tc, X1, Y1, inf1, X2, Y2, inf2):
+def _aff_aff_add_t(F, X1, Y1, inf1, X2, Y2, inf2):
     """Affine + affine -> Jacobian (mmadd-2007-bl + mdbl-2007-bl)."""
-    S = lambda a, b: fp8t.sub_t(a, b, tc)
-    A = lambda a, b: fp8t.add_t(a, b, tc)
-    D = lambda a: fp8t.double_t(a, tc)
-    one = jnp.broadcast_to(tc["one_mont"], X1.shape)
+    S, A, D = F.sub, F.add, F.dbl
+    one = F.one_like(X1)
 
     H = S(X2, X1)
     ry = S(Y2, Y1)
-    # round 1: [HH=H^2, XX=X1^2, YY=Y1^2]
-    HH, XX, YY = _muls(tc, (H, H), (X1, X1), (Y1, Y1))
+    HH = F.sqr(H)
+    XX = F.sqr(X1)
+    YY = F.sqr(Y1)
     I = D(D(HH))
     r = D(ry)
     M = A(D(XX), XX)
     X1pYY = A(X1, YY)
-    # round 2: [J=H*I, V=X1*I, rr=r^2, YYYY=YY^2, T=(X1+YY)^2, MM=M^2]
-    J, V, rr, YYYY, T, MM = _muls(
-        tc, (H, I), (X1, I), (r, r), (YY, YY), (X1pYY, X1pYY), (M, M)
-    )
+    J = F.mul(H, I)
+    V = F.mul(X1, I)
+    rr = F.sqr(r)
+    YYYY = F.sqr(YY)
+    T = F.sqr(X1pYY)
+    MM = F.sqr(M)
     X3 = S(S(rr, J), D(V))
     Sd = D(S(S(T, XX), YYYY))
     Xd = S(MM, D(Sd))
-    # round 3: [r*(V-X3), Y1*J, M*(S-Xd)]
-    T1, T2, T3 = _muls(tc, (r, S(V, X3)), (Y1, J), (M, S(Sd, Xd)))
+    T1 = F.mul(r, S(V, X3))
+    T2 = F.mul(Y1, J)
+    T3 = F.mul(M, S(Sd, Xd))
     Y3 = S(T1, D(T2))
     Z3 = D(H)
     Yd = S(T3, D(D(D(YYYY))))
     Zd = D(Y1)
 
-    h_zero = fp8t.is_zero_t(H)
-    r_zero = fp8t.is_zero_t(ry)
+    h_zero = F.is_zero(H)
+    r_zero = F.is_zero(ry)
     dbl_case = h_zero & r_zero & ~inf1 & ~inf2
     inv_case = h_zero & ~r_zero & ~inf1 & ~inf2
 
-    sel = fp8t.select_t
+    sel = F.select
     z1 = sel(inf1, jnp.zeros_like(one), one)
     z2 = sel(inf2, jnp.zeros_like(one), one)
     ox = sel(dbl_case, Xd, X3)
@@ -205,13 +300,6 @@ def _tc_static(F):
             "karatsuba": F.karatsuba}
 
 
-def _tc_from_refs(F, refs):
-    tc = _tc_static(F)
-    for name, ref in zip(fp8t.TC_ARRAYS, refs):
-        tc[name] = ref[:]
-    return tc
-
-
 def _pad_to(x, B):
     b = x.shape[0]
     if b == B:
@@ -224,203 +312,216 @@ def _mask_to_i32(m):
     return m.astype(jnp.int32)[:, None]
 
 
-@functools.lru_cache(maxsize=None)
-def _build_jac_add(curve_key: str, bt: int):
-    F = fp8.field8(P.CURVES[curve_key].q)
-    L = F.L
-    nconst = len(fp8t.TC_ARRAYS)
+class _KernelFamily:
+    """Builds the three group-law kernels for one coordinate field."""
 
-    def kernel(*refs):
-        ins = refs[:6]
-        consts = refs[6 : 6 + nconst]
-        outs = refs[6 + nconst :]
-        tc = _tc_from_refs(F, consts)
-        vals = [r[:].T for r in ins]
-        ox, oy, oz = _jac_add_t(tc, *vals)
-        outs[0][:] = ox.T
-        outs[1][:] = oy.T
-        outs[2][:] = oz.T
-
-    def call(p, q):
-        B = p["x"].shape[0]
-        Bp = -(-B // bt) * bt
-        ins = [
-            _pad_to(v, Bp)
-            for v in (p["x"], p["y"], p["z"], q["x"], q["y"], q["z"])
-        ]
-        pt_spec = pl.BlockSpec((bt, L), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM)
-        consts = [F.tc[n] for n in fp8t.TC_ARRAYS]
-        cspecs = [
-            pl.BlockSpec(c.shape, (lambda i, nd=c.ndim: (0,) * nd),
-                         memory_space=pltpu.VMEM)
-            for c in consts
-        ]
-        out = pl.pallas_call(
-            kernel,
-            grid=(Bp // bt,),
-            in_specs=[pt_spec] * 6 + cspecs,
-            out_specs=[pt_spec] * 3,
-            out_shape=[jax.ShapeDtypeStruct((Bp, L), jnp.int32)] * 3,
-            interpret=_interpret(),
-        )(*ins, *consts)
-        return {
-            "x": out[0][:B],
-            "y": out[1][:B],
-            "z": out[2][:B],
+    def __init__(self, curve_name: str, g2: bool, bt: int):
+        cp = P.CURVES[curve_name]
+        self.Fq = fp8.field8(cp.q)
+        self.g2_ext = bool(g2 and cp.g2_degree == 2)
+        L = self.Fq.L
+        self.ew = 2 * L if self.g2_ext in (True,) else L
+        units = self.ew // 48 + (1 if self.ew % 48 else 0)
+        self.bt = {
+            op: min(bt, _bt_cap(op, max(1, units)))
+            for op in _BT_CAP48
         }
+        if self.g2_ext:
+            assert curve_name == "bls12-377"
+            R = 1 << (8 * L)
+            nr = P.BLS12_377_FQ2_QNR
+            self.nr_t = jnp.asarray(
+                fp8.to_limbs8(nr * R % cp.q, L).reshape(L, 1)
+            )
+        else:
+            self.nr_t = None
 
-    return call
+    def _ops(self, consts):
+        tc = _tc_static(self.Fq)
+        nc = len(fp8t.TC_ARRAYS)
+        for name, ref in zip(fp8t.TC_ARRAYS, consts[:nc]):
+            tc[name] = ref[:]
+        if self.g2_ext:
+            return _Fq2Ops(tc, consts[nc][:])
+        return _BaseOps(tc)
 
+    def _consts(self):
+        arr = [self.Fq.tc[n] for n in fp8t.TC_ARRAYS]
+        if self.g2_ext:
+            arr.append(self.nr_t)
+        return arr
 
-@functools.lru_cache(maxsize=None)
-def _build_jac_dbl(curve_key: str, bt: int):
-    F = fp8.field8(P.CURVES[curve_key].q)
-    L = F.L
-    nconst = len(fp8t.TC_ARRAYS)
-
-    def kernel(*refs):
-        ins = refs[:3]
-        consts = refs[3 : 3 + nconst]
-        outs = refs[3 + nconst :]
-        tc = _tc_from_refs(F, consts)
-        vals = [r[:].T for r in ins]
-        ox, oy, oz = _jac_dbl_t(tc, *vals)
-        outs[0][:] = ox.T
-        outs[1][:] = oy.T
-        outs[2][:] = oz.T
-
-    def call(p):
-        B = p["x"].shape[0]
+    def _call(self, kernel, ins, n_out, bt):
+        B = ins[0].shape[0]
         Bp = -(-B // bt) * bt
-        ins = [_pad_to(v, Bp) for v in (p["x"], p["y"], p["z"])]
-        pt_spec = pl.BlockSpec((bt, L), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM)
-        consts = [F.tc[n] for n in fp8t.TC_ARRAYS]
+        ins = [_pad_to(v, Bp) for v in ins]
+        specs = []
+        for v in ins:
+            w = v.shape[1]
+            specs.append(
+                pl.BlockSpec((bt, w), (lambda i: (i, 0)),
+                             memory_space=pltpu.VMEM)
+            )
+        consts = self._consts()
         cspecs = [
             pl.BlockSpec(c.shape, (lambda i, nd=c.ndim: (0,) * nd),
                          memory_space=pltpu.VMEM)
             for c in consts
         ]
-        out = pl.pallas_call(
-            kernel,
-            grid=(Bp // bt,),
-            in_specs=[pt_spec] * 3 + cspecs,
-            out_specs=[pt_spec] * 3,
-            out_shape=[jax.ShapeDtypeStruct((Bp, L), jnp.int32)] * 3,
-            interpret=_interpret(),
-        )(*ins, *consts)
-        return {"x": out[0][:B], "y": out[1][:B], "z": out[2][:B]}
-
-    return call
-
-
-@functools.lru_cache(maxsize=None)
-def _build_aff_add(curve_key: str, bt: int):
-    F = fp8.field8(P.CURVES[curve_key].q)
-    L = F.L
-    nconst = len(fp8t.TC_ARRAYS)
-
-    def kernel(*refs):
-        x1, y1, i1, x2, y2, i2 = refs[:6]
-        consts = refs[6 : 6 + nconst]
-        outs = refs[6 + nconst :]
-        tc = _tc_from_refs(F, consts)
-        inf1 = i1[:][:, 0] > 0
-        inf2 = i2[:][:, 0] > 0
-        ox, oy, oz = _aff_aff_add_t(
-            tc, x1[:].T, y1[:].T, inf1, x2[:].T, y2[:].T, inf2
-        )
-        outs[0][:] = ox.T
-        outs[1][:] = oy.T
-        outs[2][:] = oz.T
-
-    def call(a1, a2):
-        B = a1["x"].shape[0]
-        Bp = -(-B // bt) * bt
-        ins = [
-            _pad_to(a1["x"], Bp),
-            _pad_to(a1["y"], Bp),
-            _pad_to(_mask_to_i32(a1["inf"]), Bp),
-            _pad_to(a2["x"], Bp),
-            _pad_to(a2["y"], Bp),
-            _pad_to(_mask_to_i32(a2["inf"]), Bp),
-        ]
-        pt_spec = pl.BlockSpec((bt, L), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM)
-        m_spec = pl.BlockSpec((bt, 1), lambda i: (i, 0),
+        pt_out = pl.BlockSpec((bt, self.ew), (lambda i: (i, 0)),
                               memory_space=pltpu.VMEM)
-        consts = [F.tc[n] for n in fp8t.TC_ARRAYS]
-        cspecs = [
-            pl.BlockSpec(c.shape, (lambda i, nd=c.ndim: (0,) * nd),
-                         memory_space=pltpu.VMEM)
-            for c in consts
-        ]
         out = pl.pallas_call(
             kernel,
             grid=(Bp // bt,),
-            in_specs=[pt_spec, pt_spec, m_spec, pt_spec, pt_spec, m_spec]
-            + cspecs,
-            out_specs=[pt_spec] * 3,
-            out_shape=[jax.ShapeDtypeStruct((Bp, L), jnp.int32)] * 3,
+            in_specs=specs + cspecs,
+            out_specs=[pt_out] * n_out,
+            out_shape=[jax.ShapeDtypeStruct((Bp, self.ew), jnp.int32)]
+            * n_out,
             interpret=_interpret(),
         )(*ins, *consts)
-        return {"x": out[0][:B], "y": out[1][:B], "z": out[2][:B]}
+        return [o[:B] for o in out]
 
-    return call
+    # -- jac add ---------------------------------------------------------
+    def jac_add(self, p, q):
+        fam = self
+
+        def kernel(*refs):
+            ins = refs[:6]
+            consts = refs[6:-3]
+            outs = refs[-3:]
+            F = fam._ops(consts)
+            vals = [r[:].T for r in ins]
+            ox, oy, oz = _jac_add_t(F, *vals)
+            outs[0][:] = ox.T
+            outs[1][:] = oy.T
+            outs[2][:] = oz.T
+
+        o = self._call(
+            kernel,
+            [p["x"], p["y"], p["z"], q["x"], q["y"], q["z"]],
+            3,
+            self.bt["jac_add"],
+        )
+        return {"x": o[0], "y": o[1], "z": o[2]}
+
+    def jac_dbl(self, p):
+        fam = self
+
+        def kernel(*refs):
+            ins = refs[:3]
+            consts = refs[3:-3]
+            outs = refs[-3:]
+            F = fam._ops(consts)
+            vals = [r[:].T for r in ins]
+            ox, oy, oz = _jac_dbl_t(F, *vals)
+            outs[0][:] = ox.T
+            outs[1][:] = oy.T
+            outs[2][:] = oz.T
+
+        o = self._call(
+            kernel, [p["x"], p["y"], p["z"]], 3, self.bt["jac_dbl"]
+        )
+        return {"x": o[0], "y": o[1], "z": o[2]}
+
+    def aff_add(self, a1, a2):
+        fam = self
+
+        def kernel(*refs):
+            x1, y1, i1, x2, y2, i2 = refs[:6]
+            consts = refs[6:-3]
+            outs = refs[-3:]
+            F = fam._ops(consts)
+            inf1 = i1[:][:, 0] > 0
+            inf2 = i2[:][:, 0] > 0
+            ox, oy, oz = _aff_aff_add_t(
+                F, x1[:].T, y1[:].T, inf1, x2[:].T, y2[:].T, inf2
+            )
+            outs[0][:] = ox.T
+            outs[1][:] = oy.T
+            outs[2][:] = oz.T
+
+        o = self._call(
+            kernel,
+            [
+                a1["x"], a1["y"], _mask_to_i32(a1["inf"]),
+                a2["x"], a2["y"], _mask_to_i32(a2["inf"]),
+            ],
+            3,
+            self.bt["aff_add"],
+        )
+        return {"x": o[0], "y": o[1], "z": o[2]}
+
+
+@functools.lru_cache(maxsize=None)
+def _family(curve_name: str, g2: bool, bt: int) -> _KernelFamily:
+    return _KernelFamily(curve_name, g2, bt)
 
 
 # ---------------------------------------------------------------------------
-# public API: a JacCurve-compatible ops object backed by the kernels
+# public API: JacCurve-compatible ops objects backed by the kernels
 # ---------------------------------------------------------------------------
 
 
-def _flatten_pt(pt):
-    """Flatten leading dims of a point dict to one batch axis."""
+def _flatten_pt(pt, ew):
+    """Flatten leading dims to one batch axis; Fq2 coords (..., 2, L) are
+    viewed as (..., 2L)."""
     lead = None
     flat = {}
     for k, v in pt.items():
         if k == "inf":
-            lead = v.shape
             flat[k] = v.reshape(-1)
-        else:
-            flat[k] = v.reshape(-1, v.shape[-1])
             if lead is None:
-                lead = v.shape[:-1]
+                lead = v.shape
+        else:
+            flat[k] = v.reshape(-1, ew)
+            if lead is None:
+                nd = 2 if v.shape[-1] != ew else 1
+                lead = v.shape[: v.ndim - nd]
     return flat, lead
 
 
 class PallasG1Curve:
-    """Drop-in subset of JacCurve backed by fused Pallas kernels (G1 / any
-    group whose coordinates live directly in Fq).  Field ops fall back to
-    the batch-major fp8 path for cheap glue (select/mask/is_infinity)."""
+    """Drop-in subset of JacCurve backed by fused Pallas kernels.  Despite
+    the name it serves any group whose unified a=0 formulas apply: G1 of
+    BLS12-377/BW6-761, BW6-761 G2 (Fq coords) and BLS12-377 G2 (Fq2
+    coords, ``g2=True``)."""
 
-    def __init__(self, curve_name: str, bt: int = DEFAULT_BT):
+    def __init__(self, curve_name: str, bt: int = DEFAULT_BT,
+                 g2: bool = False):
         self.curve_name = curve_name
-        self.F = fp8.field8(P.CURVES[curve_name].q)
-        self.bt = bt
-        L = self.F.L
-        self._add = _build_jac_add(curve_name, min(bt, _bt_cap("jac_add", L)))
-        self._dbl = _build_jac_dbl(curve_name, min(bt, _bt_cap("jac_dbl", L)))
-        self._aff = _build_aff_add(curve_name, min(bt, _bt_cap("aff_add", L)))
+        cp = P.CURVES[curve_name]
+        self.g2_ext = bool(g2 and cp.g2_degree == 2)
+        if self.g2_ext:
+            from .msm8 import Fp28TPU
+
+            self.F = Fp28TPU(cp.q, P.BLS12_377_FQ2_QNR)
+        else:
+            self.F = fp8.field8(cp.q)
+        self.fam = _family(curve_name, self.g2_ext, bt)
+        self.ew = self.fam.ew
+        self._coord_shape = (
+            (2, self.F.L) if self.g2_ext else (self.F.L,)
+        )
+
+    def _unflatten(self, out, lead):
+        return {
+            k: v.reshape(*lead, *self._coord_shape) for k, v in out.items()
+        }
 
     # -- kernel-backed ops ------------------------------------------------
     def add(self, p, q):
-        fp_, lead = _flatten_pt(p)
-        fq_, _ = _flatten_pt(q)
-        out = self._add(fp_, fq_)
-        return {k: v.reshape(*lead, v.shape[-1]) for k, v in out.items()}
+        fp_, lead = _flatten_pt(p, self.ew)
+        fq_, _ = _flatten_pt(q, self.ew)
+        return self._unflatten(self.fam.jac_add(fp_, fq_), lead)
 
     def dbl(self, p):
-        fp_, lead = _flatten_pt(p)
-        out = self._dbl(fp_)
-        return {k: v.reshape(*lead, v.shape[-1]) for k, v in out.items()}
+        fp_, lead = _flatten_pt(p, self.ew)
+        return self._unflatten(self.fam.jac_dbl(fp_), lead)
 
     def add_affine_affine(self, a1, a2, z_one=None):
-        f1, lead = _flatten_pt(a1)
-        f2, _ = _flatten_pt(a2)
-        out = self._aff(f1, f2)
-        return {k: v.reshape(*lead, v.shape[-1]) for k, v in out.items()}
+        f1, lead = _flatten_pt(a1, self.ew)
+        f2, _ = _flatten_pt(a2, self.ew)
+        return self._unflatten(self.fam.aff_add(f1, f2), lead)
 
     # -- glue (identical to JacCurve) --------------------------------------
     def infinity_like(self, pt):

@@ -530,7 +530,10 @@ def default_window(n: int) -> int:
 
 
 def _pallas_supported(curve_name: str, g2: bool) -> bool:
-    return not g2 or P.CURVES[curve_name].g2_degree == 1
+    if not g2 or P.CURVES[curve_name].g2_degree == 1:
+        return True
+    # BLS12-377 G2 runs on the Fq2 kernel family
+    return curve_name == "bls12-377"
 
 
 @functools.lru_cache(maxsize=None)
@@ -554,7 +557,7 @@ def msm8_jit(curve_name: str, g2: bool, c: int,
 
         assert _pallas_supported(curve_name, g2)
         crv = ec_pallas.PallasG1Curve(
-            curve_name, bt=bt or ec_pallas.DEFAULT_BT
+            curve_name, bt=bt or ec_pallas.DEFAULT_BT, g2=g2
         )
     else:
         crv = g2_curve8(curve_name) if g2 else g1_curve8(curve_name)

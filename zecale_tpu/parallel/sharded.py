@@ -116,7 +116,7 @@ def msm8_sharded(
     if use_pallas:
         from ..ec import ec_pallas
 
-        crv = ec_pallas.PallasG1Curve(curve_name)
+        crv = ec_pallas.PallasG1Curve(curve_name, g2=g2)
     else:
         crv = m8.g2_curve8(curve_name) if g2 else m8.g1_curve8(curve_name)
     nbits = P.CURVES[curve_name].r.bit_length()
