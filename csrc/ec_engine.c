@@ -17,12 +17,12 @@
 
 #include "fp_core.h"
 
-#define MAX_EXT 2
+#define MAX_EXT 3
 #define MAX_EW (MAX_EXT * MAX_LIMBS)
 
 typedef struct {
     fp_ctx fp;
-    int k;                 /* extension degree: 1 or 2 */
+    int k;                 /* extension degree: 1, 2 or 3 */
     int ew;                /* element width in u64 = k * nl */
     u64 nr[MAX_LIMBS];     /* non-residue (Montgomery) for k == 2 */
 } ext_ctx;
@@ -38,7 +38,7 @@ void ext_init(ext_ctx *e, int nl, const u64 *mod, const u64 *r2, u64 n0inv,
     e->fp.n0inv = n0inv;
     e->k = k;
     e->ew = k * nl;
-    if (k == 2)
+    if (k >= 2)
         memcpy(e->nr, nr_mont, nl * sizeof(u64));
 }
 
@@ -64,19 +64,48 @@ static void emul(const ext_ctx *e, u64 *o, const u64 *a, const u64 *b)
         fp_montmul(c, o, a, b);
         return;
     }
-    /* Karatsuba over Fq2 = Fq[u]/(u^2 - nr) */
-    u64 t0[MAX_LIMBS], t1[MAX_LIMBS], sa[MAX_LIMBS], sb[MAX_LIMBS],
-        mid[MAX_LIMBS], nr_t1[MAX_LIMBS];
-    fp_montmul(c, t0, a, b);
-    fp_montmul(c, t1, a + nl, b + nl);
-    fp_add(c, sa, a, a + nl);
-    fp_add(c, sb, b, b + nl);
-    fp_montmul(c, mid, sa, sb);
-    fp_sub(c, mid, mid, t0);
-    fp_sub(c, mid, mid, t1);
-    fp_montmul(c, nr_t1, t1, e->nr);
-    fp_add(c, o, t0, nr_t1);
-    memcpy(o + nl, mid, nl * sizeof(u64));
+    if (e->k == 2) {
+        /* Karatsuba over Fq2 = Fq[u]/(u^2 - nr) */
+        u64 t0[MAX_LIMBS], t1[MAX_LIMBS], sa[MAX_LIMBS], sb[MAX_LIMBS],
+            mid[MAX_LIMBS], nr_t1[MAX_LIMBS];
+        fp_montmul(c, t0, a, b);
+        fp_montmul(c, t1, a + nl, b + nl);
+        fp_add(c, sa, a, a + nl);
+        fp_add(c, sb, b, b + nl);
+        fp_montmul(c, mid, sa, sb);
+        fp_sub(c, mid, mid, t0);
+        fp_sub(c, mid, mid, t1);
+        fp_montmul(c, nr_t1, t1, e->nr);
+        fp_add(c, o, t0, nr_t1);
+        memcpy(o + nl, mid, nl * sizeof(u64));
+        return;
+    }
+    /* Karatsuba over Fq3 = Fq[u]/(u^3 - nr): 6 base muls */
+    {
+        const u64 *a0 = a, *a1 = a + nl, *a2 = a + 2 * nl;
+        const u64 *b0 = b, *b1 = b + nl, *b2 = b + 2 * nl;
+        u64 t0[MAX_LIMBS], t1[MAX_LIMBS], t2[MAX_LIMBS];
+        u64 s01[MAX_LIMBS], s02[MAX_LIMBS], s12[MAX_LIMBS];
+        u64 sa[MAX_LIMBS], sb[MAX_LIMBS], tmp[MAX_LIMBS];
+        fp_montmul(c, t0, a0, b0);
+        fp_montmul(c, t1, a1, b1);
+        fp_montmul(c, t2, a2, b2);
+        fp_add(c, sa, a0, a1); fp_add(c, sb, b0, b1);
+        fp_montmul(c, s01, sa, sb);
+        fp_sub(c, s01, s01, t0); fp_sub(c, s01, s01, t1);
+        fp_add(c, sa, a0, a2); fp_add(c, sb, b0, b2);
+        fp_montmul(c, s02, sa, sb);
+        fp_sub(c, s02, s02, t0); fp_sub(c, s02, s02, t2);
+        fp_add(c, sa, a1, a2); fp_add(c, sb, b1, b2);
+        fp_montmul(c, s12, sa, sb);
+        fp_sub(c, s12, s12, t1); fp_sub(c, s12, s12, t2);
+        /* c0 = t0 + nr*s12 ; c1 = s01 + nr*t2 ; c2 = s02 + t1 */
+        fp_montmul(c, tmp, s12, e->nr);
+        fp_add(c, o, t0, tmp);
+        fp_montmul(c, tmp, t2, e->nr);
+        fp_add(c, o + nl, s01, tmp);
+        fp_add(c, o + 2 * nl, s02, t1);
+    }
 }
 
 static void esqr(const ext_ctx *e, u64 *o, const u64 *a) { emul(e, o, a, a); }

@@ -33,6 +33,8 @@ def _pts(curve, n, rng, g2=False):
     ("bls12-377", True),
     ("bw6-761", False),
     ("mnt4-298", False),
+    ("mnt4-298", True),
+    ("mnt6-298", True),
 ])
 def test_native_msm_differential(curve, g2):
     rng = random.Random(5)

@@ -95,6 +95,10 @@ class NativeCurve:
                 nr = P.MNT4_298_QNR
             else:
                 raise KeyError(curve_name)
+        elif g2 and cp.g2_degree == 3:
+            assert curve_name == "mnt6-298"
+            self.k = 3
+            nr = P.MNT6_298_QNR
         elif g2 and cp.g2_degree != 1:
             raise KeyError(f"unsupported G2 tower for {curve_name}")
         else:
@@ -116,16 +120,13 @@ class NativeCurve:
             a_host = hc.g2_curve(curve_name).a
         else:
             a_host = cp.a
-        if self.k == 2:
+        if self.k >= 2:
             if isinstance(a_host, tuple):
-                a0, a1 = a_host
+                a_coeffs = tuple(a_host) + (0,) * (self.k - len(a_host))
             else:
-                a0, a1 = a_host, 0
+                a_coeffs = (a_host,) + (0,) * (self.k - 1)
             a_m = np.concatenate(
-                [
-                    _u64s(a0 * R % self.p, self.nl),
-                    _u64s(a1 * R % self.p, self.nl),
-                ]
+                [_u64s(c * R % self.p, self.nl) for c in a_coeffs]
             )
         else:
             a_m = _u64s((a_host if not isinstance(a_host, tuple) else a_host[0])
@@ -141,30 +142,28 @@ class NativeCurve:
             _ptr(a_m),
         )
         self._rinv = pow(R, self.p - 2, self.p)
-        self.one_m = self._elem_to_mont(1 if self.k == 1 else (1, 0))
+        self.one_m = self._elem_to_mont(
+            1 if self.k == 1 else (1,) + (0,) * (self.k - 1)
+        )
         # Fermat exponent for inversion in the coordinate field
-        inv_exp = (self.p - 2) if self.k == 1 else (self.p * self.p - 2)
+        inv_exp = self.p ** self.k - 2
         self._inv_exp = _u64s(inv_exp, -(-inv_exp.bit_length() // 64))
 
     # -- element packing -----------------------------------------------------
     def _elem_to_mont(self, v) -> np.ndarray:
         if self.k == 1:
             return _u64s(v % self.p * self._R % self.p, self.nl)
-        c0, c1 = v
         return np.concatenate(
-            [
-                _u64s(c0 % self.p * self._R % self.p, self.nl),
-                _u64s(c1 % self.p * self._R % self.p, self.nl),
-            ]
+            [_u64s(c % self.p * self._R % self.p, self.nl) for c in v]
         )
 
     def _elem_from_mont(self, a: np.ndarray):
         rinv = self._rinv
         if self.k == 1:
             return _u64_to_int(a[: self.nl]) * rinv % self.p
-        return (
-            _u64_to_int(a[: self.nl]) * rinv % self.p,
-            _u64_to_int(a[self.nl : 2 * self.nl]) * rinv % self.p,
+        return tuple(
+            _u64_to_int(a[i * self.nl : (i + 1) * self.nl]) * rinv % self.p
+            for i in range(self.k)
         )
 
     def pack_points(self, pts: Sequence) -> tuple:
