@@ -17,12 +17,12 @@
 
 #include "fp_core.h"
 
-#define MAX_EXT 3
+#define MAX_EXT 6
 #define MAX_EW (MAX_EXT * MAX_LIMBS)
 
 typedef struct {
     fp_ctx fp;
-    int k;                 /* extension degree: 1, 2 or 3 */
+    int k;                 /* extension degree: 1, 2, 3 or 6 */
     int ew;                /* element width in u64 = k * nl */
     u64 nr[MAX_LIMBS];     /* non-residue (Montgomery) for k == 2 */
 } ext_ctx;
@@ -78,6 +78,27 @@ static void emul(const ext_ctx *e, u64 *o, const u64 *a, const u64 *b)
         fp_montmul(c, nr_t1, t1, e->nr);
         fp_add(c, o, t0, nr_t1);
         memcpy(o + nl, mid, nl * sizeof(u64));
+        return;
+    }
+    if (e->k > 3) {
+        /* generic binomial schoolbook: k^2 muls, fold u^k = nr */
+        int k = e->k;
+        u64 accl[MAX_EXT][MAX_LIMBS], acch[MAX_EXT][MAX_LIMBS];
+        u64 t[MAX_LIMBS];
+        memset(accl, 0, sizeof(accl));
+        memset(acch, 0, sizeof(acch));
+        for (int i = 0; i < k; ++i)
+            for (int j = 0; j < k; ++j) {
+                fp_montmul(c, t, a + i * nl, b + j * nl);
+                if (i + j < k)
+                    fp_add(c, accl[i + j], accl[i + j], t);
+                else
+                    fp_add(c, acch[i + j - k], acch[i + j - k], t);
+            }
+        for (int i = 0; i < k; ++i) {
+            fp_montmul(c, t, acch[i], e->nr);
+            fp_add(c, o + i * nl, accl[i], t);
+        }
         return;
     }
     /* Karatsuba over Fq3 = Fq[u]/(u^3 - nr): 6 base muls */
@@ -545,4 +566,251 @@ void fp_mul_scalar_sub_mul(const ext_ctx *e, u64 *out, const u64 *a,
         fp_sub(c, t, t, cc + i * c->nl);
         fp_montmul(c, out + i * c->nl, t, zinv);
     }
+}
+
+
+/* -- BW6-761 Tate pairing (direct sextic Fq6 = Fq[w]/(w^6 - xi)) -----------
+ *
+ * Independent implementation of the host oracle's algorithm
+ * (zecale_tpu/pairing/host_pairing.py): Tate pairing with the Miller loop
+ * over G1 and denominator elimination; G2 coords (in Fq, M-type untwist by
+ * w^-2 / w^-3) land at sparse sextic positions 4 / 3 scaled by xi^-1, so
+ * every line is a 3-sparse Fq6 element and f*l costs 18 base muls.
+ *
+ * The G1 double-and-add chain is computed FIRST in Jacobian form, batch
+ * normalized (one inversion), and all line slopes produced with a second
+ * batched inversion — no per-step Fermat inversions.
+ */
+
+typedef struct {
+    u64 xt[MAX_LIMBS], yt[MAX_LIMBS]; /* affine T before the step */
+    u64 lam[MAX_LIMBS];               /* line slope */
+    uint8_t is_add;
+    uint8_t skip;                     /* vertical line (omitted) */
+} miller_step;
+
+static void fq_batch_inverse(const fp_ctx *c, u64 *vals, long n,
+                             const u64 *exp, int explimbs, const u64 *one_m)
+{
+    /* in-place inversion of n field elements (zero entries pass through) */
+    u64 *pref = (u64 *)malloc((size_t)(n + 1) * c->nl * sizeof(u64));
+    memcpy(pref, one_m, c->nl * sizeof(u64));
+    for (long i = 0; i < n; ++i) {
+        const u64 *v = vals + (size_t)i * c->nl;
+        int z = 1;
+        for (int j = 0; j < c->nl; ++j)
+            if (v[j]) { z = 0; break; }
+        if (z)
+            memcpy(pref + (size_t)(i + 1) * c->nl, pref + (size_t)i * c->nl,
+                   c->nl * sizeof(u64));
+        else
+            fp_montmul(c, pref + (size_t)(i + 1) * c->nl,
+                       pref + (size_t)i * c->nl, v);
+    }
+    /* Fermat on the total product */
+    u64 acc[MAX_LIMBS];
+    {
+        const u64 *base = pref + (size_t)n * c->nl;
+        memcpy(acc, one_m, c->nl * sizeof(u64));
+        int top = explimbs * 64 - 1;
+        while (top >= 0 && !((exp[top / 64] >> (top % 64)) & 1))
+            --top;
+        for (int b = top; b >= 0; --b) {
+            fp_montmul(c, acc, acc, acc);
+            if ((exp[b / 64] >> (b % 64)) & 1)
+                fp_montmul(c, acc, acc, base);
+        }
+    }
+    for (long i = n - 1; i >= 0; --i) {
+        u64 *v = vals + (size_t)i * c->nl;
+        int z = 1;
+        for (int j = 0; j < c->nl; ++j)
+            if (v[j]) { z = 0; break; }
+        if (z)
+            continue;
+        u64 vi[MAX_LIMBS];
+        fp_montmul(c, vi, acc, pref + (size_t)i * c->nl);
+        fp_montmul(c, acc, acc, v);
+        memcpy(v, vi, c->nl * sizeof(u64));
+    }
+    free(pref);
+}
+
+/* f *= l where l = c0 + c3 w^3 + c4 w^4 (3-sparse sextic). */
+static void fq6_mul_sparse034(const ext_ctx *e6, u64 *f, const u64 *c0,
+                              const u64 *c3, const u64 *c4)
+{
+    const fp_ctx *c = &e6->fp;
+    int nl = c->nl;
+    u64 out[6][MAX_LIMBS], t[MAX_LIMBS];
+    memset(out, 0, sizeof(out));
+    const u64 *coeffs[3] = {c0, c3, c4};
+    const int pos[3] = {0, 3, 4};
+    for (int s = 0; s < 3; ++s)
+        for (int i = 0; i < 6; ++i) {
+            int d = i + pos[s];
+            fp_montmul(c, t, f + (size_t)i * nl, coeffs[s]);
+            if (d >= 6) {
+                fp_montmul(c, t, t, e6->nr);
+                d -= 6;
+            }
+            fp_add(c, out[d], out[d], t);
+        }
+    memcpy(f, out, 6 * nl * sizeof(u64));
+}
+
+/* prod_i e(P_i, Q_i) WITHOUT final exponentiation.
+ * ps/qs: n affine pairs (2*nl u64 each); skip[i] nonzero -> pair omitted.
+ * r_bits: the group order's bits MSB-first as a byte array of length nbits.
+ * xi_inv_m: xi^{-1} Montgomery; a_g1: G1 curve a (Montgomery, usually 0).
+ */
+void bw6_miller_product(const ext_ctx *e6, const curve_ctx *g1,
+                        const u64 *ps, const u64 *qs, const uint8_t *skip,
+                        long n, const uint8_t *r_bits, int nbits,
+                        const u64 *xi_inv_m, const u64 *exp_p2,
+                        int exp_limbs, const u64 *one_m, u64 *out_f)
+{
+    const fp_ctx *c = &e6->fp;
+    int nl = c->nl;
+    long max_steps = 2L * nbits + 8;
+    /* f = 1 */
+    memset(out_f, 0, 6 * (size_t)nl * sizeof(u64));
+    memcpy(out_f, one_m, nl * sizeof(u64));
+
+    miller_step *steps = (miller_step *)malloc(
+        (size_t)max_steps * sizeof(miller_step));
+    u64 *jac = (u64 *)malloc((size_t)max_steps * 3 * nl * sizeof(u64));
+    u64 *affs = (u64 *)malloc((size_t)max_steps * 2 * nl * sizeof(u64));
+    uint8_t *ainf = (uint8_t *)malloc((size_t)max_steps);
+    u64 *dens = (u64 *)malloc((size_t)max_steps * nl * sizeof(u64));
+
+    for (long pi = 0; pi < n; ++pi) {
+        if (skip && skip[pi])
+            continue;
+        const u64 *px = ps + (size_t)pi * 2 * nl;
+        const u64 *py = px + nl;
+        const u64 *qx = qs + (size_t)pi * 2 * nl;
+        const u64 *qy = qx + nl;
+
+        /* phase A: Jacobian chain, recording T before each step */
+        long ns = 0;
+        u64 T[3 * MAX_LIMBS];
+        memcpy(T, px, nl * sizeof(u64));
+        memcpy(T + nl, py, nl * sizeof(u64));
+        memcpy(T + 2 * nl, one_m, nl * sizeof(u64));
+        for (int b = 1; b < nbits; ++b) {
+            memcpy(jac + (size_t)ns * 3 * nl, T, 3 * nl * sizeof(u64));
+            steps[ns].is_add = 0;
+            ++ns;
+            jac_dbl(g1, T, T + nl, T + 2 * nl);
+            if (r_bits[b]) {
+                memcpy(jac + (size_t)ns * 3 * nl, T, 3 * nl * sizeof(u64));
+                steps[ns].is_add = 1;
+                ++ns;
+                jac_add_mixed(g1, T, T + nl, T + 2 * nl, px, py, one_m);
+            }
+        }
+        /* normalize the recorded chain */
+        jac_to_affine_batch(g1, affs, ainf, jac, ns, exp_p2, exp_limbs,
+                            one_m);
+        /* slopes: denominators then batch invert */
+        for (long s = 0; s < ns; ++s) {
+            u64 *xt = affs + (size_t)s * 2 * nl;
+            u64 *yt = xt + nl;
+            memcpy(steps[s].xt, xt, nl * sizeof(u64));
+            memcpy(steps[s].yt, yt, nl * sizeof(u64));
+            steps[s].skip = 0;
+            if (ainf[s]) { /* T infinite: line degenerate, skip */
+                steps[s].skip = 1;
+                memset(dens + (size_t)s * nl, 0, nl * sizeof(u64));
+                continue;
+            }
+            if (!steps[s].is_add) {
+                fp_add(c, dens + (size_t)s * nl, yt, yt); /* 2y */
+                int z = 1;
+                for (int j = 0; j < nl; ++j)
+                    if (dens[(size_t)s * nl + j]) { z = 0; break; }
+                if (z)
+                    steps[s].skip = 1; /* 2-torsion: vertical tangent */
+            } else {
+                u64 d[MAX_LIMBS];
+                fp_sub(c, d, px, xt); /* x1 - xt */
+                int z = 1;
+                for (int j = 0; j < nl; ++j)
+                    if (d[j]) { z = 0; break; }
+                if (z)
+                    steps[s].skip = 1; /* T == +-P: vertical chord */
+                memcpy(dens + (size_t)s * nl, d, nl * sizeof(u64));
+            }
+        }
+        fq_batch_inverse(c, dens, ns, exp_p2, exp_limbs, one_m);
+        for (long s = 0; s < ns; ++s) {
+            if (steps[s].skip)
+                continue;
+            u64 num[MAX_LIMBS];
+            if (!steps[s].is_add) {
+                u64 xx[MAX_LIMBS];
+                fp_montmul(c, xx, steps[s].xt, steps[s].xt);
+                fp_add(c, num, xx, xx);
+                fp_add(c, num, num, xx); /* 3x^2 (a == 0) */
+                if (!g1->a_is_zero)
+                    fp_add(c, num, num, g1->a_coeff);
+            } else {
+                fp_sub(c, num, py, steps[s].yt); /* y1 - yt */
+            }
+            fp_montmul(c, steps[s].lam, num, dens + (size_t)s * nl);
+        }
+        /* phase B: per-pair f accumulation with sparse lines */
+        u64 fpair[6 * MAX_LIMBS];
+        memset(fpair, 0, 6 * (size_t)nl * sizeof(u64));
+        memcpy(fpair, one_m, nl * sizeof(u64));
+        long s = 0;
+        for (int b = 1; b < nbits; ++b) {
+            /* f = f^2 * l_dbl */
+            emul(e6, fpair, fpair, fpair);
+            if (!steps[s].skip) {
+                u64 c0[MAX_LIMBS], c3[MAX_LIMBS], c4[MAX_LIMBS],
+                    t[MAX_LIMBS];
+                fp_montmul(c, t, steps[s].lam, steps[s].xt);
+                fp_sub(c, c0, t, steps[s].yt); /* lam*xt - yt */
+                fp_montmul(c, c3, qy, xi_inv_m);
+                fp_montmul(c, t, steps[s].lam, qx);
+                fp_montmul(c, t, t, xi_inv_m);
+                u64 zero[MAX_LIMBS];
+                memset(zero, 0, sizeof(zero));
+                fp_sub(c, c4, zero, t); /* -lam*xq*xi^-1 */
+                fq6_mul_sparse034(e6, fpair, c0, c3, c4);
+            }
+            ++s;
+            if (r_bits[b]) {
+                if (!steps[s].skip) {
+                    u64 c0[MAX_LIMBS], c3[MAX_LIMBS], c4[MAX_LIMBS],
+                        t[MAX_LIMBS];
+                    fp_montmul(c, t, steps[s].lam, steps[s].xt);
+                    fp_sub(c, c0, t, steps[s].yt);
+                    fp_montmul(c, c3, qy, xi_inv_m);
+                    fp_montmul(c, t, steps[s].lam, qx);
+                    fp_montmul(c, t, t, xi_inv_m);
+                    u64 zero[MAX_LIMBS];
+                    memset(zero, 0, sizeof(zero));
+                    fp_sub(c, c4, zero, t);
+                    fq6_mul_sparse034(e6, fpair, c0, c3, c4);
+                }
+                ++s;
+            }
+        }
+        emul(e6, out_f, out_f, fpair);
+    }
+    free(steps);
+    free(jac);
+    free(affs);
+    free(ainf);
+    free(dens);
+}
+
+/* out = f ^ exp over the extension (exp little-endian u64s). */
+void ext_pow(const ext_ctx *e, u64 *out, const u64 *f, const u64 *exp,
+             int explimbs, const u64 *one_m)
+{
+    epow(e, out, f, exp, explimbs, one_m);
 }

@@ -1,0 +1,86 @@
+"""Differential tests: native C BW6-761 pairing (csrc bw6_miller_product)
+vs the pure-Python host oracle, plus bilinearity/negative gates and the
+Groth16 verify fast path."""
+
+import random
+
+import pytest
+
+from zecale_tpu.ec import host_curve as hc
+from zecale_tpu.ff import params as P
+from zecale_tpu.native import ec as nec
+
+pytestmark = pytest.mark.skipif(
+    not nec.available(), reason="native toolchain unavailable"
+)
+
+
+def _points(rng):
+    g1, g2 = hc.generators("bw6-761")
+    c1, c2 = hc.g1_curve("bw6-761"), hc.g2_curve("bw6-761")
+    r = P.CURVES["bw6-761"].r
+    a, b = rng.randrange(1, r), rng.randrange(1, r)
+    return c1, c2, c1.mul(a, g1), c2.mul(b, g2), a, b
+
+
+def test_native_pairing_matches_host_oracle():
+    from zecale_tpu.native.pairing import bw6
+    from zecale_tpu.pairing import host_pairing as hp
+
+    rng = random.Random(3)
+    c1, c2, P1, Q1, _, _ = _points(rng)
+    np_ = bw6()
+    hctx = hp.ctx("bw6-761")
+    assert np_.pairing_product([(P1, Q1)]) == hctx.pairing_product(
+        [(P1, Q1)]
+    )
+    # product of two pairs
+    P2 = c1.dbl(P1)
+    pairs = [(P1, Q1), (P2, Q1)]
+    assert np_.pairing_product(pairs) == hctx.pairing_product(pairs)
+
+
+def test_native_pairing_bilinearity_and_negative():
+    from zecale_tpu.native.pairing import bw6
+
+    rng = random.Random(7)
+    c1, c2, P1, Q1, _, _ = _points(rng)
+    np_ = bw6()
+    assert np_.pairing_product_is_one([(P1, Q1), (c1.neg(P1), Q1)])
+    # e(2P, Q) * e(-P, Q)^2 == 1
+    assert np_.pairing_product_is_one(
+        [(c1.dbl(P1), Q1), (c1.neg(P1), Q1), (c1.neg(P1), Q1)]
+    )
+    assert not np_.pairing_product_is_one([(P1, Q1)])
+    # infinity operands contribute 1
+    assert np_.pairing_product_is_one([(None, Q1), (P1, None)])
+
+
+def test_groth16_verify_uses_fast_path():
+    """End-to-end: verify a real BW6 proof through Groth16.verify (which
+    routes through the native pairing) and via the host-oracle context —
+    identical verdicts."""
+    from zecale_tpu.aggregator.dummy_app import dummy_app_r1cs
+    from zecale_tpu.snark.groth16 import Groth16
+    from zecale_tpu.snark.groth16_native import Groth16Native
+
+    rng = random.Random(1)
+    nat = Groth16Native("bw6-761")
+    r1cs = dummy_app_r1cs("bw6-761")
+    kp = nat.generate_setup(r1cs, rng)
+    r = nat.r
+    a = 7
+    proof = nat.prove(r1cs, kp.pk, [1, a, pow(a, r - 2, r)], rng)
+    host = Groth16("bw6-761")
+    assert host.verify([a], proof, kp.vk)
+    assert not host.verify([a + 1], proof, kp.vk)
+    # oracle agreement on the same pairing product
+    g2_gen = P.gamma_g2("bw6-761")
+    acc = host.g1.add(kp.vk.abc[0], host.g1.mul(a, kp.vk.abc[1]))
+    pairs = [
+        (proof.a, proof.b),
+        (host.g1.neg(kp.vk.alpha), kp.vk.beta),
+        (host.g1.neg(acc), g2_gen),
+        (host.g1.neg(proof.c), kp.vk.delta),
+    ]
+    assert host.ctx.pairing_product_is_one(pairs)

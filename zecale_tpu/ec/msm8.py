@@ -538,12 +538,15 @@ def _pallas_supported(curve_name: str, g2: bool) -> bool:
 
 @functools.lru_cache(maxsize=None)
 def msm8_jit(curve_name: str, g2: bool, c: int,
-             use_pallas: bool | None = None, bt: int = 0):
+             use_pallas: bool | None = None, bt: int = 0,
+             w_range: tuple | None = None):
     """(scal8 std-form (n, Lr) 8-bit limbs, pts_aff) -> Jacobian point.
 
     ``use_pallas``: route the group-law through the fused VMEM kernels
-    (ec_pallas).  Default: on for non-CPU backends when the group's
-    coordinates live in Fq (G1, BW6 G2); the jnp JacCurve otherwise.
+    (ec_pallas).  Default: on for non-CPU backends when the curve is
+    supported (a=0 families).  ``w_range=(lo, hi)``: accumulate only
+    windows [lo, hi) — the caller scales the partial by 2^(c*lo) and sums
+    (bounds peak HBM: the flat working set is ~(hi-lo)*n entries).
     """
     from ..utils.jit_utils import bound_jit
 
@@ -565,9 +568,44 @@ def msm8_jit(curve_name: str, g2: bool, c: int,
 
     def run(scal8, pts_aff):
         buckets, signs = signed_digits_from_limbs8(scal8, nbits, c)
+        if w_range is not None:
+            lo, hi = w_range
+            buckets = buckets[lo:hi]
+            signs = signs[lo:hi]
         return msm8_core(crv, crv.F, buckets, signs, pts_aff, c)
 
     return bound_jit([crv.F], run)
+
+
+def msm8_chunked_host(curve_name: str, g2: bool, c: int, scal8, pts_aff,
+                      chunks: int, use_pallas: bool | None = None,
+                      bt: int = 0):
+    """Window-chunked MSM: run ``chunks`` partial MSMs over window ranges
+    (bounding peak device memory) and combine on host:
+        total = sum_k [2^(c*lo_k)] partial_k
+    Returns a HOST affine point (or None)."""
+    from . import host_curve as hc
+
+    W = num_windows(P.CURVES[curve_name].r.bit_length(), c)
+    crv_h = hc.g2_curve(curve_name) if g2 else hc.g1_curve(curve_name)
+    per = -(-W // chunks)
+    total = None
+    for k in range(chunks):
+        lo, hi = k * per, min((k + 1) * per, W)
+        if lo >= hi:
+            break
+        part_dev = msm8_jit(curve_name, g2, c, use_pallas, bt, (lo, hi))(
+            scal8, pts_aff
+        )
+        part = unpack_jac_point8(curve_name, part_dev, g2=g2)
+        if part is not None:
+            for _ in range(c * lo):
+                part = crv_h.dbl(part)
+        if total is None:
+            total = part
+        elif part is not None:
+            total = crv_h.add(total, part)
+    return total
 
 
 def msm8(curve_name: str, scalars: Sequence[int], points: Sequence,

@@ -119,14 +119,28 @@ class Groth16:
         # (gamma fixed to 1 in setup => [gamma]_2 is the curve's G2 generator
         # constant; see zecale_tpu.ff.params.gamma_g2)
         g2_gen = P.gamma_g2(self.curve_name)
-        return self.ctx.pairing_product_is_one(
-            [
-                (proof.a, proof.b),
-                (self.g1.neg(vk.alpha), vk.beta),
-                (self.g1.neg(acc), g2_gen),
-                (self.g1.neg(proof.c), vk.delta),
-            ]
-        )
+        pairs = [
+            (proof.a, proof.b),
+            (self.g1.neg(vk.alpha), vk.beta),
+            (self.g1.neg(acc), g2_gen),
+            (self.g1.neg(proof.c), vk.delta),
+        ]
+        return self._pairing_product_is_one(pairs)
+
+    def _pairing_product_is_one(self, pairs) -> bool:
+        """Pairing check: the native C engine when available for the curve
+        (~50x the Python oracle; differentially validated in
+        tests/test_native_pairing.py), the host oracle otherwise."""
+        if self.curve_name == "bw6-761":
+            try:
+                from ..native.pairing import bw6
+
+                npair = bw6()
+            except Exception:
+                npair = None
+            if npair is not None:
+                return npair.pairing_product_is_one(pairs)
+        return self.ctx.pairing_product_is_one(pairs)
 
     # ------------------------------------------------------------------
     # trusted setup (host oracle; see groth16_tpu for the batched path)

@@ -419,18 +419,25 @@ class Groth16TPU(TpuSnarkBase):
 
         c_g1 = msm8.default_window(dpk.n_g1)
         c_g2 = msm8.default_window(dpk.n_g2)
-        m1 = msm8.msm8_jit(self.curve_name, False, c_g1)
-        m2 = msm8.msm8_jit(self.curve_name, True, c_g2)
-        ev_a = m1(asg8, dpk.a_query)
-        ev_b1 = m1(asg8, dpk.b_g1_query)
-        ev_b2 = m2(asg8_g2, dpk.b_g2_query)
-        ev_l = m1(l8, dpk.l_query)
-        ev_h = m1(h8, dpk.h_query)
-        ev_a_h = msm8.unpack_jac_point8(self.curve_name, ev_a)
-        ev_b1_h = msm8.unpack_jac_point8(self.curve_name, ev_b1)
-        ev_b2_h = msm8.unpack_jac_point8(self.curve_name, ev_b2, g2=True)
-        ev_l_h = msm8.unpack_jac_point8(self.curve_name, ev_l)
-        ev_h_h = msm8.unpack_jac_point8(self.curve_name, ev_h)
+        # window-chunking bounds peak HBM (the flat working set is
+        # ~W*n coordinate rows): heavier fields chunk earlier
+        Lq = fp8.field8(self.params.q).L
+        unit = (1 << 16) if Lq >= 96 else (1 << 18)
+
+        def run_msm(g2, c, scal, query, n):
+            chunks = max(1, n // unit)
+            if chunks == 1:
+                dev = msm8.msm8_jit(self.curve_name, g2, c)(scal, query)
+                return msm8.unpack_jac_point8(self.curve_name, dev, g2=g2)
+            return msm8.msm8_chunked_host(
+                self.curve_name, g2, c, scal, query, chunks
+            )
+
+        ev_a_h = run_msm(False, c_g1, asg8, dpk.a_query, dpk.n_g1)
+        ev_b1_h = run_msm(False, c_g1, asg8, dpk.b_g1_query, dpk.n_g1)
+        ev_b2_h = run_msm(True, c_g2, asg8_g2, dpk.b_g2_query, dpk.n_g2)
+        ev_l_h = run_msm(False, c_g1, l8, dpk.l_query, dpk.n_g1)
+        ev_h_h = run_msm(False, c_g1, h8, dpk.h_query, dpk.n_g1)
         t0 = mark("msm")
 
         rr = rng.randrange(r)
