@@ -127,3 +127,21 @@ def test_msm8_bw6_g1_differential():
     got = msm8.msm8("bw6-761", scalars, pts, c=C)
     expect = hc.g1_curve("bw6-761").msm(scalars, pts)
     assert got == expect
+
+
+@pytest.mark.slow
+def test_msm8_chunked_matches_oracle():
+    """Window-chunked MSM (the HBM-bounded prover path) == host oracle,
+    including an uneven tail chunk."""
+    rng = random.Random(17)
+    pts = _points(N, rng)
+    r = P.CURVES[CURVE].r
+    scalars = [rng.randrange(r) for _ in range(N)]
+    Fr8 = fp8.field8(r)
+    scal8 = Fr8.pack(scalars, mont=False)
+    pts_dev = msm8.pack_points_affine8(CURVE, pts)
+    got = msm8.msm8_chunked_host(
+        CURVE, False, C, scal8, pts_dev, chunks=3, use_pallas=False
+    )
+    expect = hc.g1_curve(CURVE).msm(scalars, pts)
+    assert got == expect

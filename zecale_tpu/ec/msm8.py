@@ -566,15 +566,28 @@ def msm8_jit(curve_name: str, g2: bool, c: int,
         crv = g2_curve8(curve_name) if g2 else g1_curve8(curve_name)
     nbits = P.CURVES[curve_name].r.bit_length()
 
-    def run(scal8, pts_aff):
+    if w_range is None:
+
+        def run(scal8, pts_aff):
+            buckets, signs = signed_digits_from_limbs8(scal8, nbits, c)
+            return msm8_core(crv, crv.F, buckets, signs, pts_aff, c)
+
+        return bound_jit([crv.F], run)
+
+    # chunked variant: w_lo is a TRACED argument (one compiled graph per
+    # (n, c, chunk width) — all chunks share it); width is static
+    w_count = w_range[1] - w_range[0]
+
+    def run_chunk(scal8, pts_aff, w_lo):
         buckets, signs = signed_digits_from_limbs8(scal8, nbits, c)
-        if w_range is not None:
-            lo, hi = w_range
-            buckets = buckets[lo:hi]
-            signs = signs[lo:hi]
+        # pad the window axis: a tail chunk slices zero-windows (no-ops)
+        buckets = jnp.pad(buckets, ((0, w_count), (0, 0)))
+        signs = jnp.pad(signs, ((0, w_count), (0, 0)))
+        buckets = jax.lax.dynamic_slice_in_dim(buckets, w_lo, w_count, 0)
+        signs = jax.lax.dynamic_slice_in_dim(signs, w_lo, w_count, 0)
         return msm8_core(crv, crv.F, buckets, signs, pts_aff, c)
 
-    return bound_jit([crv.F], run)
+    return bound_jit([crv.F], run_chunk)
 
 
 def msm8_chunked_host(curve_name: str, g2: bool, c: int, scal8, pts_aff,
@@ -586,17 +599,17 @@ def msm8_chunked_host(curve_name: str, g2: bool, c: int, scal8, pts_aff,
     Returns a HOST affine point (or None)."""
     from . import host_curve as hc
 
+    import jax.numpy as jnp
+
     W = num_windows(P.CURVES[curve_name].r.bit_length(), c)
     crv_h = hc.g2_curve(curve_name) if g2 else hc.g1_curve(curve_name)
     per = -(-W // chunks)
+    # pad the window axis so every chunk has the same width (digits beyond
+    # W-1 read as zero -> contribute nothing); ONE compiled graph total
+    fn = msm8_jit(curve_name, g2, c, use_pallas, bt, (0, per))
     total = None
-    for k in range(chunks):
-        lo, hi = k * per, min((k + 1) * per, W)
-        if lo >= hi:
-            break
-        part_dev = msm8_jit(curve_name, g2, c, use_pallas, bt, (lo, hi))(
-            scal8, pts_aff
-        )
+    for lo in range(0, W, per):
+        part_dev = fn(scal8, pts_aff, jnp.int32(lo))
         part = unpack_jac_point8(curve_name, part_dev, g2=g2)
         if part is not None:
             for _ in range(c * lo):
