@@ -43,6 +43,11 @@ def _read_json(path: str):
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="zecale")
     ap.add_argument("--endpoint", default=DEFAULT_ENDPOINT)
+    ap.add_argument(
+        "--transport", choices=["proto", "json"], default="proto",
+        help="wire format: proto3 (reference-compatible schema) or the "
+             "canonical-JSON fallback service",
+    )
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     sub.add_parser("get-configuration")
@@ -69,7 +74,7 @@ def main(argv=None) -> int:
     p.add_argument("--batch-size", type=int, required=True)
 
     args = ap.parse_args(argv)
-    cli = AggregatorClient(args.endpoint)
+    cli = AggregatorClient(args.endpoint, transport=args.transport)
     try:
         return _dispatch(args, cli)
     except Exception as e:  # surface RPC errors cleanly
