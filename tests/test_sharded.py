@@ -8,7 +8,10 @@
     sharded H MSM on device) == single-device h_pipeline + host MSM.
 
 This is the test coverage VERDICT.md round-1 items 3/5 called out as
-missing (round 1 shipped parallel/sharded.py untested).
+missing (round 1 shipped parallel/sharded.py untested).  The two heaviest
+cases (sharded MSM / full prover core) are marked slow — their XLA-CPU
+compiles run ~15 min each cold — and are additionally exercised with value
+asserts by the driver's __graft_entry__.dryrun_multichip.
 """
 
 import random
@@ -61,6 +64,7 @@ def test_distributed_ifft_matches_single_device(mesh):
     assert got == [expect[rev[i]] for i in range(n)]
 
 
+@pytest.mark.slow
 def test_msm8_sharded_matches_oracle(mesh):
     n = 64
     rng = random.Random(2)
@@ -88,6 +92,7 @@ def test_msm8_sharded_matches_oracle(mesh):
     assert got == expect
 
 
+@pytest.mark.slow
 def test_prove_core_sharded8_matches_single_device(mesh):
     """The full sharded prover step vs the single-device pipeline + host
     MSM oracle: value equality, not just shapes."""
