@@ -3,7 +3,8 @@
 This is the *control plane* implementation: exact, dependency-free modular
 arithmetic used for setup derivations, serialization, witness generation and
 as the differential-test oracle for the TPU kernels in
-``zecale_tpu.ff.fp_jax`` / ``zecale_tpu.ff.fp_pallas``.
+``zecale_tpu.ff.fp_jax`` / ``zecale_tpu.ff.fp8`` (+ the
+limb-major Pallas helpers in ``zecale_tpu.ff.fp8t``).
 
 Design: a *field context* object exposes arithmetic over plain-data elements
 (int for prime fields, tuples for extension fields).  Avoiding per-element

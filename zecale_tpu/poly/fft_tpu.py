@@ -8,8 +8,9 @@ iterative, shape-static butterfly network over Montgomery limb planes:
   * bit-reversal as a single static gather;
   * each stage is one vectorized butterfly (n/2 Montgomery muls).
 
-The distributed (multi-chip) variant shards the value axis and runs
-cross-shard stages via collectives — see zecale_tpu/parallel/fft_sharded.py.
+The distributed (multi-chip) variant lives in
+zecale_tpu/parallel/fft_dist.py: DIF/DIT split (no runtime bit-reversal)
+with cross-shard butterfly stages as explicit ppermute half-exchanges.
 """
 
 from __future__ import annotations
