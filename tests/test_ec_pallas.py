@@ -81,6 +81,23 @@ def test_pallas_jac_dbl_differential(pcrv):
     assert got == expect
 
 
+def test_pallas_dbl_chain_differential(pcrv):
+    """Fused k-doubling chain kernel == k host doublings (incl. k=0 and
+    infinity lanes)."""
+    rng = random.Random(9)
+    pts = _host_pts(5, rng)
+    pts[2] = None
+    crv_h = hc.g1_curve(CURVE)
+    packed = _pack_jac(CURVE, pts)
+    assert _unpack_all(CURVE, pcrv.dbl_chain(packed, 0)) == pts
+    for k in (1, 6):
+        got = _unpack_all(CURVE, pcrv.dbl_chain(packed, k))
+        expect = list(pts)
+        for _ in range(k):
+            expect = [crv_h.dbl(p) for p in expect]
+        assert got == expect
+
+
 def test_pallas_aff_add_differential(pcrv):
     rng = random.Random(2)
     n = 10

@@ -66,6 +66,13 @@ class JacCurve:
         # when Y1 == 0 or Z1 == 0)
         return jac_point(X3, Y3, Z3)
 
+    def dbl_chain(self, pt, k: int):
+        """2^k * P as one traced loop (PallasG1Curve fuses the whole chain
+        into a single kernel launch; this is the jnp equivalent)."""
+        if k == 0:
+            return pt
+        return jax.lax.fori_loop(0, k, lambda _, p: self.dbl(p), pt)
+
     def add(self, p, q):
         """Unified P + Q (handles equal/inverse/infinity operands)."""
         F = self.F

@@ -423,6 +423,35 @@ class _KernelFamily:
         )
         return {"x": o[0], "y": o[1], "z": o[2]}
 
+    def jac_dbl_chain(self, p, k: int):
+        """2^k * P with the whole doubling chain fused into ONE kernel
+        (fori_loop inside the body) — the Horner window fold and the
+        G-scaling of the weighted bucket reduction were previously k
+        separate width-1/width-W launches each (~1 ms of launch latency
+        apiece on the v5e)."""
+        fam = self
+
+        def kernel(*refs):
+            ins = refs[:3]
+            consts = refs[3:-3]
+            outs = refs[-3:]
+            F = fam._ops(consts)
+
+            def body(_, s):
+                return _jac_dbl_t(F, *s)
+
+            ox, oy, oz = jax.lax.fori_loop(
+                0, k, body, tuple(r[:].T for r in ins)
+            )
+            outs[0][:] = ox.T
+            outs[1][:] = oy.T
+            outs[2][:] = oz.T
+
+        o = self._call(
+            kernel, [p["x"], p["y"], p["z"]], 3, self.bt["jac_dbl"]
+        )
+        return {"x": o[0], "y": o[1], "z": o[2]}
+
     def aff_add(self, a1, a2):
         fam = self
 
@@ -517,6 +546,12 @@ class PallasG1Curve:
     def dbl(self, p):
         fp_, lead = _flatten_pt(p, self.ew)
         return self._unflatten(self.fam.jac_dbl(fp_), lead)
+
+    def dbl_chain(self, p, k: int):
+        if k == 0:
+            return p
+        fp_, lead = _flatten_pt(p, self.ew)
+        return self._unflatten(self.fam.jac_dbl_chain(fp_, k), lead)
 
     def add_affine_affine(self, a1, a2, z_one=None):
         f1, lead = _flatten_pt(a1, self.ew)

@@ -14,8 +14,10 @@ design:
     population — after ceil(log2 n) rounds each bucket holds <= 1 point,
     REGARDLESS of the digit distribution.  The first (widest) round runs
     on affine inputs via the cheap mmadd formulas.  Early rounds are
-    unrolled while the array shrinks; the O(log n) tail runs as ONE
-    lax.scan body at a fixed width (compile-time control);
+    unrolled while the array shrinks; the tail runs as ONE value-driven
+    lax.while_loop body at a fixed width (compile-time control) that
+    stops as soon as every bucket is a singleton — average-case a few
+    rounds instead of the worst-case log2(n) fixed schedule;
   * bucket-weighted reduction via a log-depth suffix scan
     (sum_b b*B_b = sum_k suffix_k) + binary tree, not a serial running sum;
   * all windows processed by a single vmap — one window's sequential depth
@@ -28,7 +30,6 @@ Everything (digits -> point) is ONE jit: no host round-trips.
 from __future__ import annotations
 
 import functools
-import math
 from typing import Sequence
 
 import jax
@@ -263,36 +264,28 @@ def signed_digits_from_limbs8(scal8, nbits: int, c: int):
 # ---------------------------------------------------------------------------
 
 
-def _round_schedule(n: int, K: int):
-    """Combining-round schedule: (unrolled sizes, scanA rounds, widthB,
-    scanB rounds).
+def _round_schedule(n: int, K: int, max_unroll: int = 6):
+    """Unrolled combining-round widths.
 
     After round t every bucket holds <= ceil(n / 2^t) elements and the
     compacted array holds <= ceil(n/2^t) + K live entries.  Compile-time
     control (every distinct round width is a separately compiled kernel
-    site): unroll only the few fast-shrinking rounds, run 4 rounds under
-    ONE lax.scan at the last unrolled width, slice to the now-guaranteed
-    smaller width, and finish the remaining ceil(log2 n) rounds under a
-    second fixed-width scan.
+    site): unroll only the fast-shrinking rounds; the tail runs as a
+    value-driven lax.while_loop at the last width (see msm8_core), which
+    stops as soon as every bucket is a singleton — average-case O(1)
+    extra rounds instead of the round-2 fixed worst-case log2(n) scan
+    schedule (measured ~2.4x the n*W optimal add count, dominated by
+    those fixed-width tails).
     """
-    total = max(1, math.ceil(math.log2(max(n, 2))))
     sizes = []
     t = 0
-    while t < min(total, 4):
+    while t < max_unroll:
         nxt = -(-n // (1 << (t + 1))) + K + 1
         if nxt >= (sizes[-1] if sizes else n):
             break
         sizes.append(nxt)
         t += 1
-    if t >= total:
-        return sizes, 0, 0, 0
-    scan_a = min(4, total - t)
-    t += scan_a
-    scan_b = total - t
-    width_b = min(
-        sizes[-1] if sizes else n, -(-n // (1 << t)) + K + 1
-    )
-    return sizes, scan_a, width_b, scan_b
+    return sizes
 
 
 def _gather_pt(pt, idx):
@@ -405,7 +398,7 @@ def msm8_core(crv, F, buckets, signs, pts_aff, c: int):
 
     # pairwise same-bucket combining rounds
     z_one = F.one_mont_elem()
-    sizes, scan_a, width_b, scan_b = _round_schedule(N, W * K)
+    sizes = _round_schedule(N, W * K)
     if sizes:
         keys, pts = _combine_round_affine(crv, keys, aff, sizes[0], z_one)
         for s_next in sizes[1:]:
@@ -418,27 +411,21 @@ def msm8_core(crv, F, buckets, signs, pts_aff, c: int):
             F.select(aff["inf"], jnp.zeros_like(zb), zb),
         )
 
-    def scan_rounds(keys, pts, n_rounds):
-        w = keys.shape[0]
+    # adaptive tail: keep combining (at the last fixed width) until every
+    # bucket holds one entry.  Value-driven stop — uniform digits finish
+    # in ~log2(mean bucket population) rounds; adversarial skew (all-equal
+    # digits) still terminates since each round halves every population.
+    w_tail = keys.shape[0]
 
-        def body(carry, _):
-            ks, ps = carry
-            ks, ps = _combine_round_jac(crv, ks, ps, w)
-            return (ks, ps), None
+    def tail_cond(carry):
+        ks, _ = carry
+        return jnp.any((ks[:-1] == ks[1:]) & (ks[:-1] != SENT))
 
-        (keys, pts), _ = jax.lax.scan(
-            body, (keys, pts), None, length=n_rounds
-        )
-        return keys, pts
+    def tail_body(carry):
+        ks, ps = carry
+        return _combine_round_jac(crv, ks, ps, w_tail)
 
-    if scan_a > 0:
-        keys, pts = scan_rounds(keys, pts, scan_a)
-    if scan_b > 0:
-        # survivors are compacted to the front each round: a slice is a
-        # valid re-compaction once the live bound has shrunk
-        keys = keys[:width_b]
-        pts = {k: v[:width_b] for k, v in pts.items()}
-        keys, pts = scan_rounds(keys, pts, scan_b)
+    keys, pts = jax.lax.while_loop(tail_cond, tail_body, (keys, pts))
 
     # dense bucket extraction in (M, G, W) chunked layout:
     # bucket id b = hi*G + g + 1 (hi chunk index, g in-chunk index)
@@ -454,12 +441,26 @@ def msm8_core(crv, F, buckets, signs, pts_aff, c: int):
 
     # weighted bucket reduction, compile-lean:
     #   sum_b b*B_b = G * sum_g (sum_hi hi*B[hi,g]) + sum_g (g+1)*C_g
+    # Each scan step's adds are independent given the carry, so they are
+    # STACKED into one batched kernel call per step (halves/thirds the
+    # per-step launch latency that dominated these phases in round 2).
+    def _stacked_add(parts_a, parts_b):
+        sizes_ = [a["x"].shape[0] for a in parts_a]
+        cat = lambda vs: {
+            k: jnp.concatenate([v[k] for v in vs], axis=0) for k in vs[0]
+        }
+        out = crv.add(cat(parts_a), cat(parts_b))
+        res, off = [], 0
+        for s_ in sizes_:
+            res.append({k: v[off : off + s_] for k, v in out.items()})
+            off += s_
+        return res
+
     # scan 1 (over chunks, high to low): per-(g, w) lane
     #   wacc += run ; run += B[hi]   ->  wacc = sum hi*B,  run = C
     def chunk_body(carry, b_hi):
         run, wacc = carry
-        wacc = crv.add(wacc, run)
-        run = crv.add(run, b_hi)
+        wacc, run = _stacked_add([wacc, run], [run, b_hi])
         return (run, wacc), None
 
     zero_gw = jax.tree_util.tree_map(lambda v: jnp.zeros_like(v[0]), bpts)
@@ -473,9 +474,9 @@ def msm8_core(crv, F, buckets, signs, pts_aff, c: int):
     def g_body(carry, xs):
         run2, acc2, wtot = carry
         c_g, w1_g = xs
-        acc2 = crv.add(acc2, run2)
-        run2 = crv.add(run2, c_g)
-        wtot = crv.add(wtot, w1_g)
+        acc2, run2, wtot = _stacked_add(
+            [acc2, run2, wtot], [run2, c_g, w1_g]
+        )
         return (run2, acc2, wtot), None
 
     zero_w = jax.tree_util.tree_map(lambda v: jnp.zeros_like(v[0]), col_sums)
@@ -486,23 +487,17 @@ def msm8_core(crv, F, buckets, signs, pts_aff, c: int):
     (run2, acc2, wtot), _ = jax.lax.scan(
         g_body, (zero_w, zero_w, zero_w), rev_g
     )
-    # total = acc2 + run2 + G * wtot   (G = 2^g2: log2(G) doublings)
+    # total = acc2 + run2 + G * wtot   (G = 2^g2: one fused doubling chain)
     g2bits = G.bit_length() - 1
-
-    def dbl_body(_, p):
-        return crv.dbl(p)
-
-    gw = jax.lax.fori_loop(0, g2bits, dbl_body, wtot)
+    gw = crv.dbl_chain(wtot, g2bits)
     partials = crv.add(crv.add(acc2, run2), gw)  # (W, ...) window sums
 
-    # Horner fold, most-significant window first
+    # Horner fold, most-significant window first; the c doublings per
+    # window run as ONE fused chain launch instead of c width-1 launches
     rev = jax.tree_util.tree_map(lambda x: jnp.flip(x, 0), partials)
 
     def fold(acc, part):
-        def dblc(_, p):
-            return crv.dbl(p)
-
-        acc = jax.lax.fori_loop(0, c, dblc, acc)
+        acc = crv.dbl_chain(acc, c)
         return crv.add(acc, part), None
 
     acc0 = jax.tree_util.tree_map(lambda v: jnp.zeros_like(v[0]), rev)
