@@ -7,8 +7,14 @@
 # entirely when the tunnel is busy/wedged.  Only bench/TPU scripts should
 # keep the default environment.
 
+# --xla_cpu_copy_insertion_use_region_analysis=false: region-analysis copy
+# insertion is pathologically slow on the deep while/scan bodies of the
+# field kernels (measured 5x total XLA-CPU compile time);
+# --xla_llvm_disable_expensive_passes trims LLVM codegen the tests don't need.
 TEST_ENV = env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
-           XLA_FLAGS=--xla_force_host_platform_device_count=8
+           XLA_FLAGS="--xla_force_host_platform_device_count=8 \
+           --xla_cpu_copy_insertion_use_region_analysis=false \
+           --xla_llvm_disable_expensive_passes=true"
 
 .PHONY: test test-all bench e2e dryrun
 

@@ -59,29 +59,9 @@ def main():
     F = crv.F
 
     def prologue(scal8, pts_aff):
+        # shared helper: times exactly the graph msm8_core runs
         buckets, signs = msm8.signed_digits_from_limbs8(scal8, nbits, C)
-        W, n = buckets.shape
-        K = 1 << (C - 1)
-        stride = K + 2
-        Nf = W * n
-        wids = jnp.arange(W, dtype=jnp.int32)[:, None]
-        key = jnp.where(
-            pts_aff["inf"][None, :] | (buckets == 0),
-            msm8.SENT,
-            wids * stride + buckets,
-        ).astype(jnp.int32)
-        keyf = key.reshape(Nf)
-        order = jnp.argsort(keyf)
-        keys = keyf[order]
-        src = order % n
-        neg = (signs.reshape(Nf)[order] > 0) & (keys != msm8.SENT)
-        y = pts_aff["y"][src]
-        aff = {
-            "x": pts_aff["x"][src],
-            "y": F.select(neg, F.neg(y), y),
-            "inf": keys == msm8.SENT,
-        }
-        return keys, aff
+        return msm8._build_sorted_affine(F, buckets, signs, pts_aff, C)
 
     def prologue_sum(scal8, pts_aff):
         # reduce outputs so the ablation jit doesn't materialize the ~1 GB

@@ -74,7 +74,8 @@ def test_msm8_g1_differential():
 
 def test_msm8_g1_skewed_digits():
     """All-equal scalars: every point lands in the same bucket (worst-case
-    combining depth exercises the fixed-width scan tail)."""
+    combining depth — the adaptive while_loop tail must run its full
+    log2(width) rounds instead of the average-case few)."""
     rng = random.Random(7)
     pts = _points(N, rng)
     r = P.CURVES[CURVE].r

@@ -32,6 +32,159 @@ def jac_point(x, y, z) -> Dict[str, Any]:
     return {"x": x, "y": y, "z": z}
 
 
+def mul_small(F, t, k: int):
+    """k * t for small |k| by doubling/adding (carry-network ops only, no
+    field multiplies).  Supports the b3 constants of the a=0 curve family:
+    3 (BLS12-377 G1), -3 (BW6-761 G1), 12 (BW6-761 G2)."""
+    neg = k < 0
+    k = -k if neg else k
+    assert k in (3, 12), f"unsupported small multiple {k}"
+    t2 = F.double(t)
+    out = F.add(t2, t)  # 3t
+    if k == 12:
+        out = F.double(F.double(out))
+    return F.neg(out) if neg else out
+
+
+class ProjCurve:
+    """a=0 short-Weierstrass curve in homogeneous projective coordinates
+    with the Renes–Costello–Batina COMPLETE group law (EUROCRYPT 2016,
+    algorithms 7/9 specialized to a=0).
+
+    Points are dicts {"x","y","z"} with x = X/Z, y = Y/Z; the identity is
+    (0 : 1 : 0).  The formulas are complete on prime-order groups: ONE
+    branch-free expression is correct for P+Q, P+P, P+(-P) and identity
+    operands — no is_zero/eq tests, no select ladder (the unified Jacobian
+    law in JacCurve needs ~23 field muls once its embedded doubling branch
+    is counted; this is 12 muls + two b3-multiples).
+
+    ``b3``: 3*b of the curve equation — either a small int (mul_small
+    path, pure carry ops) or a packed Montgomery field element."""
+
+    def __init__(self, F, b3):
+        self.F = F
+        self.b3 = b3
+
+    def _mul_b3(self, t):
+        if isinstance(self.b3, int):
+            return mul_small(self.F, t, self.b3)
+        return self.F.mont_mul(t, jnp.broadcast_to(self.b3, t.shape))
+
+    def identity_like(self, pt):
+        F = self.F
+        zero = jnp.zeros_like(pt["x"])
+        one = jnp.broadcast_to(F.one_mont_elem(), pt["y"].shape)
+        return jac_point(zero, one, jnp.zeros_like(pt["z"]))
+
+    def is_infinity(self, pt):
+        return self.F.is_zero(pt["z"])
+
+    def from_affine(self, aff):
+        """{"x","y","inf"} -> projective (identity for inf entries)."""
+        F = self.F
+        one = jnp.broadcast_to(F.one_mont_elem(), aff["y"].shape)
+        inf = aff["inf"]
+        return jac_point(
+            F.select(inf, jnp.zeros_like(aff["x"]), aff["x"]),
+            F.select(inf, one, aff["y"]),
+            F.select(inf, jnp.zeros_like(one), one),
+        )
+
+    def to_jacobian(self, pt):
+        """Projective -> Jacobian: (X*Z, Y*Z^2, Z).  Identity (0:1:0) maps
+        to Z=0 which is Jacobian infinity."""
+        F = self.F
+        xz = F.mont_mul(pt["x"], pt["z"])
+        yz2 = F.mont_mul(pt["y"], F.mont_sqr(pt["z"]))
+        return jac_point(xz, yz2, pt["z"])
+
+    def add(self, p, q):
+        """Complete addition (RCB16 algorithm 7, a=0): 12M + 2*b3."""
+        F = self.F
+        X1, Y1, Z1 = p["x"], p["y"], p["z"]
+        X2, Y2, Z2 = q["x"], q["y"], q["z"]
+        t0 = F.mont_mul(X1, X2)
+        t1 = F.mont_mul(Y1, Y2)
+        t2 = F.mont_mul(Z1, Z2)
+        t3 = F.mont_mul(F.add(X1, Y1), F.add(X2, Y2))
+        t3 = F.sub(t3, F.add(t0, t1))
+        t4 = F.mont_mul(F.add(Y1, Z1), F.add(Y2, Z2))
+        t4 = F.sub(t4, F.add(t1, t2))
+        y3 = F.mont_mul(F.add(X1, Z1), F.add(X2, Z2))
+        y3 = F.sub(y3, F.add(t0, t2))
+        t0 = F.add(F.double(t0), t0)  # 3*t0
+        t2 = self._mul_b3(t2)
+        z3 = F.add(t1, t2)
+        t1 = F.sub(t1, t2)
+        y3 = self._mul_b3(y3)
+        x3 = F.sub(F.mont_mul(t3, t1), F.mont_mul(t4, y3))
+        y3 = F.add(F.mont_mul(y3, t0), F.mont_mul(t1, z3))
+        z3 = F.add(F.mont_mul(z3, t4), F.mont_mul(t0, t3))
+        return jac_point(x3, y3, z3)
+
+    def dbl(self, p):
+        """Complete doubling (RCB16 algorithm 9, a=0): 6M + 2S + b3."""
+        F = self.F
+        X, Y, Z = p["x"], p["y"], p["z"]
+        t0 = F.mont_sqr(Y)
+        z3 = F.double(F.double(F.double(t0)))
+        t1 = F.mont_mul(Y, Z)
+        t2 = self._mul_b3(F.mont_sqr(Z))
+        x3 = F.mont_mul(t2, z3)
+        y3 = F.add(t0, t2)
+        z3 = F.mont_mul(t1, z3)
+        t1 = F.double(t2)
+        t2 = F.add(t1, t2)
+        t0 = F.sub(t0, t2)
+        y3 = F.add(x3, F.mont_mul(t0, y3))
+        x3 = F.double(F.mont_mul(t0, F.mont_mul(X, Y)))
+        return jac_point(x3, y3, z3)
+
+    def dbl_chain(self, pt, k: int):
+        if k == 0:
+            return pt
+        return jax.lax.fori_loop(0, k, lambda _, p: self.dbl(p), pt)
+
+    def select(self, cond, if_true, if_false):
+        F = self.F
+        return jac_point(
+            F.select(cond, if_true["x"], if_false["x"]),
+            F.select(cond, if_true["y"], if_false["y"]),
+            F.select(cond, if_true["z"], if_false["z"]),
+        )
+
+    def mask(self, pt, keep):
+        """Identity-out the masked-off points.  All three coordinates must
+        be patched: a projective identity is (0 : 1 : 0), and the complete
+        formulas assume operands satisfy the curve equation."""
+        F = self.F
+        one = jnp.broadcast_to(F.one_mont_elem(), pt["y"].shape)
+        return jac_point(
+            F.select(keep, pt["x"], jnp.zeros_like(pt["x"])),
+            F.select(keep, pt["y"], one),
+            F.select(keep, pt["z"], jnp.zeros_like(pt["z"])),
+        )
+
+    def tree_reduce(self, pts):
+        n = pts["x"].shape[0]
+        while n > 1:
+            half = n // 2
+            even = {k: v[: 2 * half : 2] for k, v in pts.items()}
+            odd = {k: v[1 : 2 * half : 2] for k, v in pts.items()}
+            summed = self.add(even, odd)
+            if n % 2:
+                tail = {k: v[2 * half : n] for k, v in pts.items()}
+                summed = {
+                    k: jnp.concatenate([v, tail[k]], axis=0)
+                    for k, v in summed.items()
+                }
+                n = half + 1
+            else:
+                n = half
+            pts = summed
+        return {k: v[0] for k, v in pts.items()}
+
+
 class JacCurve:
     """a=0 short-Weierstrass curve over field-ops ``F``."""
 

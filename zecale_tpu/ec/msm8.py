@@ -20,11 +20,20 @@ design:
     rounds instead of the worst-case log2(n) fixed schedule;
   * bucket-weighted reduction via a log-depth suffix scan
     (sum_b b*B_b = sum_k suffix_k) + binary tree, not a serial running sum;
-  * all windows processed by a single vmap — one window's sequential depth
-    for the whole MSM;
+  * all windows live in ONE flat array keyed by window*stride + bucket
+    (no vmap): the whole MSM is a single sequence of full-width batched
+    rounds, so the fused Pallas group-law kernels always see one flat
+    batch axis at maximum width;
   * Horner window fold (c doublings + 1 add per window) as a lax.scan.
 
 Everything (digits -> point) is ONE jit: no host round-trips.
+
+TIMING SIDE-CHANNEL NOTE: the adaptive combining tail is a value-driven
+lax.while_loop whose round count depends on the digit-collision structure
+of the scalars, so MSM latency is (weakly) scalar-dependent.  The
+reference's libff multiexp is likewise variable-time, so this is parity,
+not a regression; deployments needing constant-time proving should pin the
+tail to its worst-case round count (log2 of the tail width) instead.
 """
 
 from __future__ import annotations
@@ -365,19 +374,16 @@ def _axis0_tree_reduce(crv, pts):
     return {k: v[0] for k, v in pts.items()}
 
 
-def msm8_core(crv, F, buckets, signs, pts_aff, c: int):
-    """(W, n) buckets/signs + affine points -> Jacobian MSM result.
+def _build_sorted_affine(F, buckets, signs, pts_aff, c: int):
+    """Digits -> (sorted composite keys, matching signed affine points).
 
-    Flat composite-key formulation: all W windows are accumulated in ONE
-    sorted array keyed by window*stride + bucket, so the whole MSM is a
-    single sequence of full-width batched rounds (no vmap — the fused
-    Pallas group-law kernels see one flat batch axis)."""
+    Shared by msm8_core and scripts/msm_ablate.py so the ablation always
+    times exactly the graph the production MSM runs.  Composite key =
+    window*stride + bucket; SENT for zero digits / infinity inputs."""
     W, n = buckets.shape
     K = 1 << (c - 1)
     stride = K + 2
     N = W * n
-
-    # composite keys; SENT for zero digits / infinity inputs
     wids = jnp.arange(W, dtype=jnp.int32)[:, None]
     key = jnp.where(
         pts_aff["inf"][None, :] | (buckets == 0),
@@ -395,6 +401,22 @@ def msm8_core(crv, F, buckets, signs, pts_aff, c: int):
         "y": F.select(neg, F.neg(y), y),
         "inf": keys == SENT,
     }
+    return keys, aff
+
+
+def msm8_core(crv, F, buckets, signs, pts_aff, c: int):
+    """(W, n) buckets/signs + affine points -> Jacobian MSM result.
+
+    Flat composite-key formulation: all W windows are accumulated in ONE
+    sorted array keyed by window*stride + bucket, so the whole MSM is a
+    single sequence of full-width batched rounds (no vmap — the fused
+    Pallas group-law kernels see one flat batch axis)."""
+    W, n = buckets.shape
+    K = 1 << (c - 1)
+    stride = K + 2
+    N = W * n
+    wids = jnp.arange(W, dtype=jnp.int32)[:, None]
+    keys, aff = _build_sorted_affine(F, buckets, signs, pts_aff, c)
 
     # pairwise same-bucket combining rounds
     z_one = F.one_mont_elem()

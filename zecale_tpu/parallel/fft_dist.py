@@ -222,34 +222,44 @@ def _sharded_call(mesh: Mesh, fn, n_plans: int):
     return wrap
 
 
+@functools.lru_cache(maxsize=None)
+def _jitted_transform(mesh: Mesh, n: int, r: int, inverse: bool):
+    """Cached jax.jit of the sharded transform.  The jit wrapper matters
+    enormously: a bare shard_map call runs EAGERLY (one mini-compile per
+    primitive through the shard-map machinery — measured 47 s for one
+    n=16 transform on the 8-device CPU mesh vs 3.6 s traced+compiled)."""
+    F = fp_jax.field(r)
+    D = mesh.devices.size
+
+    if inverse:
+
+        def body(x_l, plan_l):
+            lt, ct, sinv = plan_l
+            return ifft_dif_local(F, x_l, lt, ct, sinv, D)
+
+    else:
+
+        def body(x_l, plan_l):
+            lt, ct, _ = plan_l
+            return fft_dit_local(F, x_l, lt, ct, D)
+
+    return jax.jit(_sharded_call(mesh, body, 1))
+
+
 def ifft_sharded(mesh: Mesh, values, r: int):
     """values (n, L) natural order, sharded -> coefficients in BIT-REVERSED
     order (sharded).  Multiply-compatible with fft_sharded below."""
-    F = fp_jax.field(r)
     n = values.shape[0]
-    D = mesh.devices.size
-    plan = plan_arrays(n, D, r, inverse=True)
-
-    def body(x_l, plan_l):
-        lt, ct, sinv = plan_l
-        return ifft_dif_local(F, x_l, lt, ct, sinv, D)
-
-    return _sharded_call(mesh, body, 1)(values, plan)
+    plan = plan_arrays(n, mesh.devices.size, r, inverse=True)
+    return _jitted_transform(mesh, n, r, True)(values, plan)
 
 
 def fft_sharded(mesh: Mesh, coeffs_bitrev, r: int):
     """coefficients in BIT-REVERSED order (sharded) -> evaluations in
     natural order (sharded)."""
-    F = fp_jax.field(r)
     n = coeffs_bitrev.shape[0]
-    D = mesh.devices.size
-    plan = plan_arrays(n, D, r, inverse=False)
-
-    def body(x_l, plan_l):
-        lt, ct, _ = plan_l
-        return fft_dit_local(F, x_l, lt, ct, D)
-
-    return _sharded_call(mesh, body, 1)(coeffs_bitrev, plan)
+    plan = plan_arrays(n, mesh.devices.size, r, inverse=False)
+    return _jitted_transform(mesh, n, r, False)(coeffs_bitrev, plan)
 
 
 @functools.lru_cache(maxsize=None)
@@ -272,31 +282,23 @@ def _coset_scales_rev(n: int, r: int):
     return fwd, inv
 
 
-def h_pipeline_sharded(mesh: Mesh, r: int, az, bz, cz, zinv_mont):
-    """Distributed QAP division: (az, bz, cz evaluations, natural order,
-    sharded) -> H coefficients in BIT-REVERSED order (sharded).
-
-    The caller consumes H against a bit-reverse-permuted H query (static
-    reorder of fixed proving-key points — no runtime permutation).
-    """
+@functools.lru_cache(maxsize=None)
+def _jitted_h_pipeline(mesh: Mesh, n: int, r: int):
     F = fp_jax.field(r)
-    n = az.shape[0]
     D = mesh.devices.size
-    iplan = plan_arrays(n, D, r, inverse=True)
-    fplan = plan_arrays(n, D, r, inverse=False)
-    fsc_np, isc_np = _coset_scales_rev(n, r)
-    fsc, isc = jnp.asarray(fsc_np), jnp.asarray(isc_np)
 
-    def body(a, b, c, ip, fp, fs, is_, zi):
+    def body(abc, ip, fp, fs, is_, zi):
+        # a/b/c ride ONE vmapped coset-eval body: a single compiled FFT
+        # expansion (batched 3-wide) instead of three inlined copies —
+        # ~2.5x smaller graph AND wider (better-utilized) kernels.
         def coset_eval(x):
             xc = ifft_dif_local(F, x, ip[0], ip[1], ip[2], D)  # bitrev
             return fft_dit_local(
                 F, F.mont_mul(xc, fs), fp[0], fp[1], D
             )  # natural coset evals
 
-        a_e = coset_eval(a)
-        b_e = coset_eval(b)
-        c_e = coset_eval(c)
+        evals = jax.vmap(coset_eval)(abc)
+        a_e, b_e, c_e = evals[0], evals[1], evals[2]
         h_e = F.mont_mul(
             F.sub(F.mont_mul(a_e, b_e), c_e),
             jnp.broadcast_to(zi, a_e.shape),
@@ -312,13 +314,13 @@ def h_pipeline_sharded(mesh: Mesh, r: int, az, bz, cz, zinv_mont):
             PS(None),
         )
 
+    iplan = plan_arrays(n, D, r, inverse=True)
+    fplan = plan_arrays(n, D, r, inverse=False)
     fn = shard_map(
         body,
         mesh=mesh,
         in_specs=(
-            PS(AXIS, None),
-            PS(AXIS, None),
-            PS(AXIS, None),
+            PS(None, AXIS, None),
             spec_for_plan(iplan),
             spec_for_plan(fplan),
             PS(AXIS, None),
@@ -328,4 +330,23 @@ def h_pipeline_sharded(mesh: Mesh, r: int, az, bz, cz, zinv_mont):
         out_specs=PS(AXIS, None),
         check_rep=False,
     )
-    return fn(az, bz, cz, iplan, fplan, fsc, isc, zinv_mont)
+    return jax.jit(fn)
+
+
+def h_pipeline_sharded(mesh: Mesh, r: int, az, bz, cz, zinv_mont):
+    """Distributed QAP division: (az, bz, cz evaluations, natural order,
+    sharded) -> H coefficients in BIT-REVERSED order (sharded).
+
+    The caller consumes H against a bit-reverse-permuted H query (static
+    reorder of fixed proving-key points — no runtime permutation).
+    """
+    n = az.shape[0]
+    D = mesh.devices.size
+    iplan = plan_arrays(n, D, r, inverse=True)
+    fplan = plan_arrays(n, D, r, inverse=False)
+    fsc_np, isc_np = _coset_scales_rev(n, r)
+    fsc, isc = jnp.asarray(fsc_np), jnp.asarray(isc_np)
+    abc = jnp.stack([az, bz, cz])
+    return _jitted_h_pipeline(mesh, n, r)(
+        abc, iplan, fplan, fsc, isc, zinv_mont
+    )
