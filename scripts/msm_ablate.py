@@ -55,7 +55,7 @@ def main():
     pts_dev = msm8.pack_points_affine8(CURVE, pts)
     nbits = r.bit_length()
 
-    crv = ec_pallas.PallasG1Curve(CURVE, bt=ec_pallas.DEFAULT_BT)
+    crv = ec_pallas.PallasProjCurve(CURVE, bt=ec_pallas.DEFAULT_BT)
     F = crv.F
 
     def prologue(scal8, pts_aff):
@@ -78,8 +78,9 @@ def main():
         keys, aff = prologue(scal8, pts_aff)
         sizes = msm8._round_schedule(keys.shape[0],
                                      (keys.shape[0] // N) * (1 << (C - 1)))
-        z_one = F.one_mont_elem()
-        ks, pts = msm8._combine_round_affine(crv, keys, aff, sizes[0], z_one)
+        ks, pts = msm8._combine_round(
+            crv, keys, crv.from_affine(aff), sizes[0]
+        )
         return (
             jnp.sum(ks),
             jnp.sum(pts["x"], axis=0),

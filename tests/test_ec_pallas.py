@@ -172,3 +172,92 @@ def test_pallas_g2_fq2_add_differential():
         for i in range(n)
     ]
     assert got2 == [crv_h.dbl(x) if x else None for x in pts_a]
+
+
+# ---------------------------------------------------------------------------
+# complete projective (RCB) kernels
+# ---------------------------------------------------------------------------
+
+
+def _unpack_proj(curve, crv, pt, i, g2=False):
+    F = crv.F
+    one = {k: v[i] for k, v in pt.items()}
+    jac = crv.to_jacobian(
+        {k: v[None] for k, v in one.items()}
+    )
+    return msm8.unpack_jac_point8(
+        curve, {k: v[0] for k, v in jac.items()}, g2=g2
+    )
+
+
+@pytest.mark.parametrize("curve", ["bls12-377", "bw6-761"])
+def test_pallas_proj_add_differential(curve):
+    """PallasProjCurve.add (RCB complete kernel) vs the host oracle,
+    including equal / inverse / identity operands (completeness)."""
+    rng = random.Random(3)
+    n = 8
+    crv_h = hc.g1_curve(curve)
+    pts_a = _host_pts(n, rng, curve)
+    pts_b = _host_pts(n, rng, curve)
+    pts_b[0] = pts_a[0]                       # doubling case
+    pts_b[1] = (pts_a[1][0], crv_h.F.neg(pts_a[1][1]))  # inverse case
+    pts_a[2] = None                           # identity + finite
+    pts_b[3] = None                           # finite + identity
+    pts_a[4] = pts_b[4] = None                # identity + identity
+    pcrv = ec_pallas.PallasProjCurve(curve, bt=8)
+    pa = pcrv.from_affine(msm8.pack_points_affine8(curve, pts_a))
+    pb = pcrv.from_affine(msm8.pack_points_affine8(curve, pts_b))
+    out = pcrv.add(pa, pb)
+    for i in range(n):
+        p, q = pts_a[i], pts_b[i]
+        expect = crv_h.add(p, q) if (p and q) else (p or q)
+        assert _unpack_proj(curve, pcrv, out, i) == expect, i
+    # doubling chain
+    out2 = pcrv.dbl_chain(pa, 3)
+    for i in range(n):
+        e = pts_a[i]
+        for _ in range(3):
+            e = crv_h.dbl(e) if e else None
+        assert _unpack_proj(curve, pcrv, out2, i) == e, i
+
+
+def test_pallas_proj_g2_fq2_differential():
+    """BLS12-377 G2 (Fq2 coords): the b3 twist constant rides as a kernel
+    const — validate add + dbl_chain against the host G2 oracle."""
+    curve = "bls12-377"
+    rng = random.Random(9)
+    crv_h = hc.g2_curve(curve)
+    gen = hc.generators(curve)[1]
+    pts, p = [], gen
+    for _ in range(6):
+        pts.append(p)
+        p = crv_h.add(crv_h.dbl(p), gen)
+    pts_b = pts[1:] + [None]
+    pcrv = ec_pallas.PallasProjCurve(curve, bt=8, g2=True)
+    pa = pcrv.from_affine(msm8.pack_points_affine8(curve, pts, g2=True))
+    pb = pcrv.from_affine(msm8.pack_points_affine8(curve, pts_b, g2=True))
+    out = pcrv.add(pa, pb)
+    for i in range(6):
+        q = pts_b[i]
+        expect = crv_h.add(pts[i], q) if q else pts[i]
+        assert _unpack_proj(curve, pcrv, out, i, g2=True) == expect, i
+    out2 = pcrv.dbl_chain(pa, 2)
+    for i in range(6):
+        e = crv_h.dbl(crv_h.dbl(pts[i]))
+        assert _unpack_proj(curve, pcrv, out2, i, g2=True) == e, i
+
+
+def test_pallas_proj_bw6_g2_b3():
+    """BW6-761 G2 shares the Fq kernel family with G1 but has b3 = 12
+    (twist y^2 = x^3 + 4) — a wrong family key would silently use -3."""
+    curve = "bw6-761"
+    crv_h = hc.g2_curve(curve)
+    gen = hc.generators(curve)[1]
+    pts = [gen, crv_h.dbl(gen), crv_h.add(crv_h.dbl(gen), gen)]
+    pcrv = ec_pallas.PallasProjCurve(curve, bt=8, g2=True)
+    pa = pcrv.from_affine(msm8.pack_points_affine8(curve, pts, g2=True))
+    out = pcrv.dbl_chain(pa, 1)
+    for i in range(3):
+        assert _unpack_proj(curve, pcrv, out, i, g2=True) == crv_h.dbl(
+            pts[i]
+        ), i

@@ -146,3 +146,26 @@ def test_msm8_chunked_matches_oracle():
     )
     expect = hc.g1_curve(CURVE).msm(scalars, pts)
     assert got == expect
+
+
+def test_msm8_streamed_matches_oracle():
+    """One-jit window-streamed MSM (the round-3 HBM-bounded prover path)
+    == host oracle, including an uneven tail chunk and edge cases."""
+    rng = random.Random(23)
+    pts = _points(N, rng)
+    pts[2] = None
+    r = P.CURVES[CURVE].r
+    scalars = [rng.randrange(r) for _ in range(N)]
+    scalars[0] = 0
+    Fr8 = fp8.field8(r)
+    scal8 = Fr8.pack(scalars, mont=False)
+    pts_dev = msm8.pack_points_affine8(CURVE, pts)
+    dev = msm8.msm8_streamed_jit(CURVE, False, C, 3, use_pallas=False)(
+        scal8, pts_dev
+    )
+    got = msm8.unpack_jac_point8(CURVE, dev)
+    expect = hc.g1_curve(CURVE).msm(
+        [s for s, p in zip(scalars, pts) if p is not None],
+        [p for p in pts if p is not None],
+    )
+    assert got == expect

@@ -36,6 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..ff import fp8, fp8t
 from ..ff import params as P
+from .curve_jax import ProjCurve
 
 DEFAULT_BT = 256
 
@@ -84,6 +85,9 @@ class _BaseOps:
     def dbl(self, a):
         return fp8t.double_t(a, self.tc)
 
+    def neg(self, a):
+        return fp8t.neg_t(a, self.tc)
+
     def is_zero(self, a):
         return fp8t.is_zero_t(a)
 
@@ -123,6 +127,9 @@ class _Fq2Ops:
 
     def dbl(self, a):
         return self._per(lambda x: fp8t.double_t(x, self.tc), a)
+
+    def neg(self, a):
+        return self._per(lambda x: fp8t.neg_t(x, self.tc), a)
 
     def mul(self, a, b):
         tc = self.tc
@@ -290,6 +297,45 @@ def _aff_aff_add_t(F, X1, Y1, inf1, X2, Y2, inf2):
     return ox, oy, oz
 
 
+def _proj_add_t(F, X1, Y1, Z1, X2, Y2, Z2, mul_b3):
+    """COMPLETE projective P+Q (RCB16 algorithm 7, a=0): 12M + 2*b3, no
+    selects, no exceptional cases.  Mirrors curve_jax.ProjCurve.add."""
+    S, A, D = F.sub, F.add, F.dbl
+    t0 = F.mul(X1, X2)
+    t1 = F.mul(Y1, Y2)
+    t2 = F.mul(Z1, Z2)
+    t3 = S(F.mul(A(X1, Y1), A(X2, Y2)), A(t0, t1))
+    t4 = S(F.mul(A(Y1, Z1), A(Y2, Z2)), A(t1, t2))
+    y3 = S(F.mul(A(X1, Z1), A(X2, Z2)), A(t0, t2))
+    t0 = A(D(t0), t0)  # 3*t0
+    t2 = mul_b3(t2)
+    z3 = A(t1, t2)
+    t1 = S(t1, t2)
+    y3 = mul_b3(y3)
+    x3 = S(F.mul(t3, t1), F.mul(t4, y3))
+    y3 = A(F.mul(y3, t0), F.mul(t1, z3))
+    z3 = A(F.mul(z3, t4), F.mul(t0, t3))
+    return x3, y3, z3
+
+
+def _proj_dbl_t(F, X, Y, Z, mul_b3):
+    """COMPLETE projective doubling (RCB16 algorithm 9, a=0): 6M+2S+b3."""
+    S, A, D = F.sub, F.add, F.dbl
+    t0 = F.sqr(Y)
+    z3 = D(D(D(t0)))
+    t1 = F.mul(Y, Z)
+    t2 = mul_b3(F.sqr(Z))
+    x3 = F.mul(t2, z3)
+    y3 = A(t0, t2)
+    z3 = F.mul(t1, z3)
+    t1 = D(t2)
+    t2 = A(t1, t2)
+    t0 = S(t0, t2)
+    y3 = A(x3, F.mul(t0, y3))
+    x3 = D(F.mul(t0, F.mul(X, Y)))
+    return x3, y3, z3
+
+
 # ---------------------------------------------------------------------------
 # pallas plumbing
 # ---------------------------------------------------------------------------
@@ -315,10 +361,12 @@ def _mask_to_i32(m):
 class _KernelFamily:
     """Builds the three group-law kernels for one coordinate field."""
 
-    def __init__(self, curve_name: str, g2: bool, bt: int):
+    def __init__(self, curve_name: str, g2: bool, bt: int,
+                 is_g2: bool = False):
         cp = P.CURVES[curve_name]
         self.Fq = fp8.field8(cp.q)
         self.g2_ext = bool(g2 and cp.g2_degree == 2)
+        is_g2 = is_g2 or g2
         L = self.Fq.L
         self.ew = 2 * L if self.g2_ext in (True,) else L
         units = self.ew // 48 + (1 if self.ew % 48 else 0)
@@ -335,6 +383,25 @@ class _KernelFamily:
             )
         else:
             self.nr_t = None
+        # b3 = 3*b of the group's curve equation, for the RCB complete
+        # projective law.  Small-integer b3 (all Fq-coordinate groups of
+        # the BLS12-377/BW6-761 family) is applied with carry-level ops
+        # only; the BLS12-377 G2 twist constant rides as a kernel const.
+        q = cp.q
+        if self.g2_ext:
+            # D-twist: y^2 = x^3 + b/u with b=1, u^2 = -5 -> b2 = (0, -1/5)
+            R = 1 << (8 * L)
+            c1 = (-3 * pow(5, q - 2, q)) % q
+            self.b3_small = None
+            self.b3_t = jnp.asarray(
+                np.concatenate(
+                    [fp8.to_limbs8(0, L), fp8.to_limbs8(c1 * R % q, L)]
+                ).reshape(2 * L, 1)
+            )
+        else:
+            b = 4 if (is_g2 and cp.g2_degree == 1) else cp.b
+            self.b3_small = {1: 3, q - 1: -3, 4: 12}[b]
+            self.b3_t = None
 
     def _ops(self, consts):
         tc = _tc_static(self.Fq)
@@ -349,7 +416,28 @@ class _KernelFamily:
         arr = [self.Fq.tc[n] for n in fp8t.TC_ARRAYS]
         if self.g2_ext:
             arr.append(self.nr_t)
+        if self.b3_t is not None:
+            arr.append(self.b3_t)
         return arr
+
+    def _mul_b3_fn(self, F, consts):
+        """b3-multiplication closure for the RCB kernel bodies."""
+        if self.b3_small is not None:
+            s = self.b3_small
+
+            def mul_small_t(t):
+                out = F.add(F.dbl(t), t)  # 3t
+                if abs(s) == 12:
+                    out = F.dbl(F.dbl(out))
+                return F.neg(out) if s < 0 else out
+
+            return mul_small_t
+        b3 = consts[-1][:]
+
+        def mul_const(t):
+            return F.mul(t, jnp.broadcast_to(b3, t.shape))
+
+        return mul_const
 
     def _call(self, kernel, ins, n_out, bt):
         B = ins[0].shape[0]
@@ -481,9 +569,63 @@ class _KernelFamily:
         return {"x": o[0], "y": o[1], "z": o[2]}
 
 
+    # -- complete projective (RCB) kernels --------------------------------
+    def proj_add(self, p, q):
+        fam = self
+
+        def kernel(*refs):
+            ins = refs[:6]
+            consts = refs[6:-3]
+            outs = refs[-3:]
+            F = fam._ops(consts)
+            mb3 = fam._mul_b3_fn(F, consts)
+            vals = [r[:].T for r in ins]
+            ox, oy, oz = _proj_add_t(F, *vals, mb3)
+            outs[0][:] = ox.T
+            outs[1][:] = oy.T
+            outs[2][:] = oz.T
+
+        o = self._call(
+            kernel,
+            [p["x"], p["y"], p["z"], q["x"], q["y"], q["z"]],
+            3,
+            self.bt["jac_add"],
+        )
+        return {"x": o[0], "y": o[1], "z": o[2]}
+
+    def proj_dbl_chain(self, p, k: int):
+        fam = self
+
+        def kernel(*refs):
+            ins = refs[:3]
+            consts = refs[3:-3]
+            outs = refs[-3:]
+            F = fam._ops(consts)
+            mb3 = fam._mul_b3_fn(F, consts)
+
+            def body(_, s):
+                return _proj_dbl_t(F, *s, mb3)
+
+            ox, oy, oz = jax.lax.fori_loop(
+                0, k, body, tuple(r[:].T for r in ins)
+            )
+            outs[0][:] = ox.T
+            outs[1][:] = oy.T
+            outs[2][:] = oz.T
+
+        o = self._call(
+            kernel, [p["x"], p["y"], p["z"]], 3, self.bt["jac_dbl"]
+        )
+        return {"x": o[0], "y": o[1], "z": o[2]}
+
+
 @functools.lru_cache(maxsize=None)
-def _family(curve_name: str, g2: bool, bt: int) -> _KernelFamily:
-    return _KernelFamily(curve_name, g2, bt)
+def _family(curve_name: str, g2: bool, bt: int,
+            is_g2: bool = False) -> _KernelFamily:
+    """``g2``: coordinates live in Fq2 (kernel family selector).
+    ``is_g2``: the GROUP is G2 (b3 selector — BW6-761 G2 shares the Fq
+    kernel family with G1 but has a different curve constant)."""
+    return _KernelFamily(curve_name, g2, bt, is_g2=is_g2)
 
 
 # ---------------------------------------------------------------------------
@@ -526,7 +668,7 @@ class PallasG1Curve:
             self.F = Fp28TPU(cp.q, P.BLS12_377_FQ2_QNR)
         else:
             self.F = fp8.field8(cp.q)
-        self.fam = _family(curve_name, self.g2_ext, bt)
+        self.fam = _family(curve_name, self.g2_ext, bt, is_g2=g2)
         self.ew = self.fam.ew
         self._coord_shape = (
             (2, self.F.L) if self.g2_ext else (self.F.L,)
@@ -598,3 +740,53 @@ class PallasG1Curve:
                 n = half
             pts = summed
         return {k: v[0] for k, v in pts.items()}
+
+
+class PallasProjCurve(ProjCurve):
+    """ProjCurve (complete RCB group law) with add / dbl / dbl_chain backed
+    by the fused Pallas kernels; the cheap element-wise glue (mask, select,
+    from_affine, identity) stays on the inherited jnp path.
+
+    Serves the same groups as PallasG1Curve: G1 of BLS12-377/BW6-761,
+    BW6-761 G2 (Fq coords) and BLS12-377 G2 (Fq2 coords, ``g2=True``)."""
+
+    def __init__(self, curve_name: str, bt: int = DEFAULT_BT,
+                 g2: bool = False):
+        cp = P.CURVES[curve_name]
+        self.curve_name = curve_name
+        self.g2_ext = bool(g2 and cp.g2_degree == 2)
+        if self.g2_ext:
+            from .msm8 import Fp28TPU
+
+            F = Fp28TPU(cp.q, P.BLS12_377_FQ2_QNR)
+            c1 = (-3 * pow(5, cp.q - 2, cp.q)) % cp.q
+            b3 = F.pack([(0, c1)])[0]  # (2, L) Montgomery
+        else:
+            F = fp8.field8(cp.q)
+            b = 4 if (g2 and cp.g2_degree == 1) else cp.b
+            b3 = {1: 3, cp.q - 1: -3, 4: 12}[b]
+        super().__init__(F, b3)
+        self.fam = _family(curve_name, self.g2_ext, bt, is_g2=g2)
+        self.ew = self.fam.ew
+        self._coord_shape = (
+            (2, F.L) if self.g2_ext else (F.L,)
+        )
+
+    def _unflatten(self, out, lead):
+        return {
+            k: v.reshape(*lead, *self._coord_shape) for k, v in out.items()
+        }
+
+    def add(self, p, q):
+        fp_, lead = _flatten_pt(p, self.ew)
+        fq_, _ = _flatten_pt(q, self.ew)
+        return self._unflatten(self.fam.proj_add(fp_, fq_), lead)
+
+    def dbl(self, p):
+        return self.dbl_chain(p, 1)
+
+    def dbl_chain(self, p, k: int):
+        if k == 0:
+            return p
+        fp_, lead = _flatten_pt(p, self.ew)
+        return self._unflatten(self.fam.proj_dbl_chain(fp_, k), lead)

@@ -9,11 +9,12 @@ design:
     through host bigints;
   * per window: one argsort by bucket id, then LOG-DEPTH pairwise
     same-bucket combining: every round pairs each even-rank element with
-    its odd-rank neighbour (full-width batched unified adds), compacts
+    its odd-rank neighbour (full-width batched adds in the COMPLETE
+    Renes–Costello–Batina projective law: 12 muls, branch-free — vs ~23
+    muls + a select ladder for the round-2 unified Jacobian law), compacts
     survivors with a cumsum/searchsorted gather, and halves every bucket's
     population — after ceil(log2 n) rounds each bucket holds <= 1 point,
-    REGARDLESS of the digit distribution.  The first (widest) round runs
-    on affine inputs via the cheap mmadd formulas.  Early rounds are
+    REGARDLESS of the digit distribution.  Early rounds are
     unrolled while the array shrinks; the tail runs as ONE value-driven
     lax.while_loop body at a fixed width (compile-time control) that
     stops as soon as every bucket is a singleton — average-case a few
@@ -47,7 +48,7 @@ import numpy as np
 
 from ..ff import fp8
 from ..ff import params as P
-from .curve_jax import JacCurve, jac_point
+from .curve_jax import JacCurve, ProjCurve, jac_point
 
 SENT = jnp.int32(0x7FFFFFFF)
 
@@ -172,6 +173,28 @@ def g2_curve8(curve_name: str) -> JacCurve:
         return JacCurve(fp8.field8(cp.q))
     assert curve_name == "bls12-377", "msm8 G2 supports a=0 curves only"
     return JacCurve(Fp28TPU(cp.q, P.BLS12_377_FQ2_QNR))
+
+
+@functools.lru_cache(maxsize=None)
+def g1_pcurve8(curve_name: str) -> ProjCurve:
+    """Complete-formula (RCB) projective curve — the round-3 combining
+    engine (12-mul branch-free adds vs ~23 for the unified Jacobian law)."""
+    cp = P.CURVES[curve_name]
+    assert cp.a == 0, "RCB a=0 law; MNT curves take the host/native path"
+    b3 = {1: 3, cp.q - 1: -3}[cp.b]
+    return ProjCurve(fp8.field8(cp.q), b3)
+
+
+@functools.lru_cache(maxsize=None)
+def g2_pcurve8(curve_name: str) -> ProjCurve:
+    cp = P.CURVES[curve_name]
+    if cp.g2_degree == 1:  # BW6-761 M-twist: y^2 = x^3 + 4 over Fq
+        return ProjCurve(fp8.field8(cp.q), 12)
+    assert curve_name == "bls12-377", "msm8 G2 supports a=0 curves only"
+    F2 = Fp28TPU(cp.q, P.BLS12_377_FQ2_QNR)
+    # D-twist: y^2 = x^3 + b/u with b=1, u^2 = -5 -> b2 = (0, -1/5)
+    c1 = (-3 * pow(5, cp.q - 2, cp.q)) % cp.q
+    return ProjCurve(F2, F2.pack([(0, c1)])[0])
 
 
 # ---------------------------------------------------------------------------
@@ -324,8 +347,9 @@ def _pair_flags(keys):
     return can_pair, keep
 
 
-def _combine_round_jac(crv, keys, pts, out_size):
-    """One pairwise same-bucket combining round on Jacobian points."""
+def _combine_round(crv, keys, pts, out_size):
+    """One pairwise same-bucket combining round ({"x","y","z"} points in
+    the curve object's coordinate system — projective for ProjCurve)."""
     can_pair, keep = _pair_flags(keys)
     g, valid = _compact_indices(keep, out_size)
     s = keys.shape[0]
@@ -336,20 +360,6 @@ def _combine_round_jac(crv, keys, pts, out_size):
     p2 = crv.mask(p2, can_pair[g] & valid)
     p1 = crv.mask(p1, valid)
     return new_keys, crv.add(p1, p2)
-
-
-def _combine_round_affine(crv, keys, aff, out_size, z_one):
-    """First combining round: affine inputs, Jacobian outputs."""
-    can_pair, keep = _pair_flags(keys)
-    g, valid = _compact_indices(keep, out_size)
-    s = keys.shape[0]
-    new_keys = jnp.where(valid, keys[g], SENT)
-    a1 = {k: v[g] for k, v in aff.items()}
-    g2i = jnp.clip(g + 1, 0, s - 1)
-    a2 = {k: v[g2i] for k, v in aff.items()}
-    a1["inf"] = a1["inf"] | ~valid
-    a2["inf"] = a2["inf"] | ~(can_pair[g] & valid)
-    return new_keys, crv.add_affine_affine(a1, a2, z_one)
 
 
 def _axis0_tree_reduce(crv, pts):
@@ -404,13 +414,20 @@ def _build_sorted_affine(F, buckets, signs, pts_aff, c: int):
     return keys, aff
 
 
-def msm8_core(crv, F, buckets, signs, pts_aff, c: int):
-    """(W, n) buckets/signs + affine points -> Jacobian MSM result.
+def msm8_core(crv, F, buckets, signs, pts_aff, c: int,
+              out_jacobian: bool = True):
+    """(W, n) buckets/signs + affine points -> MSM result point.
 
     Flat composite-key formulation: all W windows are accumulated in ONE
     sorted array keyed by window*stride + bucket, so the whole MSM is a
     single sequence of full-width batched rounds (no vmap — the fused
-    Pallas group-law kernels see one flat batch axis)."""
+    Pallas group-law kernels see one flat batch axis).
+
+    ``crv`` is a ProjCurve/PallasProjCurve: every group op is the COMPLETE
+    Renes–Costello–Batina law (12 muls, branch-free) — round 2's unified
+    Jacobian adds cost ~23 muls plus a select ladder.  Output is Jacobian
+    (one 3-mul conversion at the end) unless ``out_jacobian=False`` (the
+    sharded path reduces the projective partials across devices first)."""
     W, n = buckets.shape
     K = 1 << (c - 1)
     stride = K + 2
@@ -418,20 +435,11 @@ def msm8_core(crv, F, buckets, signs, pts_aff, c: int):
     wids = jnp.arange(W, dtype=jnp.int32)[:, None]
     keys, aff = _build_sorted_affine(F, buckets, signs, pts_aff, c)
 
-    # pairwise same-bucket combining rounds
-    z_one = F.one_mont_elem()
+    # pairwise same-bucket combining rounds (projective throughout)
+    pts = crv.from_affine(aff)
     sizes = _round_schedule(N, W * K)
-    if sizes:
-        keys, pts = _combine_round_affine(crv, keys, aff, sizes[0], z_one)
-        for s_next in sizes[1:]:
-            keys, pts = _combine_round_jac(crv, keys, pts, s_next)
-    else:
-        zb = jnp.broadcast_to(z_one, (N, *z_one.shape))
-        pts = jac_point(
-            aff["x"],
-            aff["y"],
-            F.select(aff["inf"], jnp.zeros_like(zb), zb),
-        )
+    for s_next in sizes:
+        keys, pts = _combine_round(crv, keys, pts, s_next)
 
     # adaptive tail: keep combining (at the last fixed width) until every
     # bucket holds one entry.  Value-driven stop — uniform digits finish
@@ -445,7 +453,7 @@ def msm8_core(crv, F, buckets, signs, pts_aff, c: int):
 
     def tail_body(carry):
         ks, ps = carry
-        return _combine_round_jac(crv, ks, ps, w_tail)
+        return _combine_round(crv, ks, ps, w_tail)
 
     keys, pts = jax.lax.while_loop(tail_cond, tail_body, (keys, pts))
 
@@ -485,7 +493,9 @@ def msm8_core(crv, F, buckets, signs, pts_aff, c: int):
         wacc, run = _stacked_add([wacc, run], [run, b_hi])
         return (run, wacc), None
 
-    zero_gw = jax.tree_util.tree_map(lambda v: jnp.zeros_like(v[0]), bpts)
+    # projective identity (0:1:0) — plain zeros are not a valid point for
+    # the complete formulas
+    zero_gw = crv.identity_like({k: v[0] for k, v in bpts.items()})
     rev_chunks = jax.tree_util.tree_map(lambda v: jnp.flip(v, 0), bpts)
     (col_sums, wsums), _ = jax.lax.scan(
         chunk_body, (zero_gw, zero_gw), rev_chunks
@@ -501,7 +511,7 @@ def msm8_core(crv, F, buckets, signs, pts_aff, c: int):
         )
         return (run2, acc2, wtot), None
 
-    zero_w = jax.tree_util.tree_map(lambda v: jnp.zeros_like(v[0]), col_sums)
+    zero_w = crv.identity_like({k: v[0] for k, v in col_sums.items()})
     rev_g = (
         jax.tree_util.tree_map(lambda v: jnp.flip(v, 0), col_sums),
         jax.tree_util.tree_map(lambda v: jnp.flip(v, 0), wsums),
@@ -522,8 +532,10 @@ def msm8_core(crv, F, buckets, signs, pts_aff, c: int):
         acc = crv.dbl_chain(acc, c)
         return crv.add(acc, part), None
 
-    acc0 = jax.tree_util.tree_map(lambda v: jnp.zeros_like(v[0]), rev)
+    acc0 = crv.identity_like({k: v[0] for k, v in rev.items()})
     acc, _ = jax.lax.scan(fold, acc0, rev)
+    if out_jacobian:
+        return crv.to_jacobian(acc)
     return acc
 
 
@@ -576,11 +588,11 @@ def msm8_jit(curve_name: str, g2: bool, c: int,
         from . import ec_pallas
 
         assert _pallas_supported(curve_name, g2)
-        crv = ec_pallas.PallasG1Curve(
+        crv = ec_pallas.PallasProjCurve(
             curve_name, bt=bt or ec_pallas.DEFAULT_BT, g2=g2
         )
     else:
-        crv = g2_curve8(curve_name) if g2 else g1_curve8(curve_name)
+        crv = g2_pcurve8(curve_name) if g2 else g1_pcurve8(curve_name)
     nbits = P.CURVES[curve_name].r.bit_length()
 
     if w_range is None:
@@ -605,6 +617,69 @@ def msm8_jit(curve_name: str, g2: bool, c: int,
         return msm8_core(crv, crv.F, buckets, signs, pts_aff, c)
 
     return bound_jit([crv.F], run_chunk)
+
+
+@functools.lru_cache(maxsize=None)
+def msm8_streamed_jit(curve_name: str, g2: bool, c: int, chunks: int,
+                      use_pallas: bool | None = None, bt: int = 0):
+    """ONE-jit window-streamed MSM (round-3 replacement for the host-side
+    window chunking): digits are extracted ONCE, a lax.scan walks the
+    window chunks (peak HBM = a single chunk's flat working set — the
+    scan body's buffers are reused across iterations), and a second scan
+    Horner-folds the chunk partials with fused 2^(c*per) doubling chains.
+    Round 2's msm8_chunked_host re-extracted digits per chunk (2x overhead
+    at chunks=2) and round-tripped every partial through the host."""
+    from ..utils.jit_utils import bound_jit
+
+    if use_pallas is None:
+        use_pallas = (
+            jax.default_backend() != "cpu"
+            and _pallas_supported(curve_name, g2)
+        )
+    if use_pallas:
+        from . import ec_pallas
+
+        assert _pallas_supported(curve_name, g2)
+        crv = ec_pallas.PallasProjCurve(
+            curve_name, bt=bt or ec_pallas.DEFAULT_BT, g2=g2
+        )
+    else:
+        crv = g2_pcurve8(curve_name) if g2 else g1_pcurve8(curve_name)
+    nbits = P.CURVES[curve_name].r.bit_length()
+    W = num_windows(nbits, c)
+    per = -(-W // chunks)
+
+    def run(scal8, pts_aff):
+        buckets, signs = signed_digits_from_limbs8(scal8, nbits, c)
+        pad = chunks * per - W
+        n = scal8.shape[0]
+        buckets = jnp.pad(buckets, ((0, pad), (0, 0)))
+        signs = jnp.pad(signs, ((0, pad), (0, 0)))
+        bch = buckets.reshape(chunks, per, n)
+        sch = signs.reshape(chunks, per, n)
+
+        def body(_, xs):
+            b, s = xs
+            part = msm8_core(
+                crv, crv.F, b, s, pts_aff, c, out_jacobian=False
+            )
+            return 0, part
+
+        _, parts = jax.lax.scan(body, 0, (bch, sch))
+
+        # Horner across chunks, most-significant chunk first:
+        # total = sum_k 2^(c*per*k) * part_k
+        rev = jax.tree_util.tree_map(lambda v: jnp.flip(v, 0), parts)
+
+        def fold(acc, part):
+            acc = crv.dbl_chain(acc, c * per)
+            return crv.add(acc, part), None
+
+        acc0 = crv.identity_like({k: v[0] for k, v in rev.items()})
+        acc, _ = jax.lax.scan(fold, acc0, rev)
+        return crv.to_jacobian(acc)
+
+    return bound_jit([crv.F], run)
 
 
 def msm8_chunked_host(curve_name: str, g2: bool, c: int, scal8, pts_aff,

@@ -116,16 +116,20 @@ def msm8_sharded(
     if use_pallas:
         from ..ec import ec_pallas
 
-        crv = ec_pallas.PallasG1Curve(curve_name, g2=g2)
+        crv = ec_pallas.PallasProjCurve(curve_name, g2=g2)
     else:
-        crv = m8.g2_curve8(curve_name) if g2 else m8.g1_curve8(curve_name)
+        crv = m8.g2_pcurve8(curve_name) if g2 else m8.g1_pcurve8(curve_name)
     nbits = P.CURVES[curve_name].r.bit_length()
 
     def local(scal_l, pts_l):
         buckets, signs = m8.signed_digits_from_limbs8(scal_l, nbits, c)
-        part = m8.msm8_core(crv, crv.F, buckets, signs, pts_l, c)
+        # keep the per-device partial PROJECTIVE: reduce across devices in
+        # the complete law, convert to Jacobian once at the very end
+        part = m8.msm8_core(
+            crv, crv.F, buckets, signs, pts_l, c, out_jacobian=False
+        )
         gathered = {k: jax.lax.all_gather(v, AXIS) for k, v in part.items()}
-        return m8._axis0_tree_reduce(crv, gathered)
+        return crv.to_jacobian(m8._axis0_tree_reduce(crv, gathered))
 
     pt_in = {
         k: PS(AXIS, *([None] * (v.ndim - 1))) for k, v in pts_aff.items()

@@ -428,10 +428,13 @@ class Groth16TPU(TpuSnarkBase):
             chunks = max(1, n // unit)
             if chunks == 1:
                 dev = msm8.msm8_jit(self.curve_name, g2, c)(scal, query)
-                return msm8.unpack_jac_point8(self.curve_name, dev, g2=g2)
-            return msm8.msm8_chunked_host(
-                self.curve_name, g2, c, scal, query, chunks
-            )
+            else:
+                # one-jit window streaming: digits once, chunked scan
+                # bounds peak HBM, no host round-trips between chunks
+                dev = msm8.msm8_streamed_jit(
+                    self.curve_name, g2, c, chunks
+                )(scal, query)
+            return msm8.unpack_jac_point8(self.curve_name, dev, g2=g2)
 
         ev_a_h = run_msm(False, c_g1, asg8, dpk.a_query, dpk.n_g1)
         ev_b1_h = run_msm(False, c_g1, asg8, dpk.b_g1_query, dpk.n_g1)
