@@ -45,6 +45,13 @@ def _save_instance(path: str, inst, app) -> None:
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="zecale_dummy_app")
+    ap.add_argument(
+        "--eth-network", default=None,
+        help="EVM chain-state file: deploy/get run against REAL bytecode "
+             "(zecale_tpu/evm) bound to a dispatcher deployed with "
+             "`zecale deploy`; without it the executable engine model is "
+             "used (word-level, no chain)",
+    )
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("deploy")
@@ -53,6 +60,8 @@ def main(argv=None) -> int:
                    help="wrapper (aggregator) vk JSON")
     p.add_argument("--batch-size", type=int, default=2)
     p.add_argument("--instance", default=DEFAULT_INSTANCE)
+    p.add_argument("--dispatcher-instance", default="zecale-instance",
+                   help="dispatcher instance file (on-chain mode)")
 
     p = sub.add_parser("submit-batch")
     p.add_argument("batch_file")
@@ -64,6 +73,9 @@ def main(argv=None) -> int:
     p.add_argument("--instance", default=DEFAULT_INSTANCE)
 
     args = ap.parse_args(argv)
+
+    if args.eth_network is not None:
+        return _onchain(args)
 
     if args.cmd == "deploy":
         with open(args.vk) as f:
@@ -108,6 +120,41 @@ def main(argv=None) -> int:
         if args.check is not None and v.hex() != args.check:
             print("CHECK FAILED", file=sys.stderr)
             return 1
+    return 0
+
+
+def _onchain(args) -> int:
+    """On-chain mode: the app runs as real bytecode on the EVM chain
+    (reference dummy_app/deploy.py:23-70 and get.py:22-46 semantics)."""
+    from ..evm import vm
+    from .dispatcher_contract import DispatcherContract, DummyAppContract
+
+    chain = vm.Chain.load(args.eth_network)
+    if args.cmd == "deploy":
+        disp = DispatcherContract.load_instance(
+            chain, args.dispatcher_instance
+        )
+        h = int(args.vk_hash, 16)
+        vk_hash_words = (h >> 256, h & ((1 << 256) - 1))
+        app = DummyAppContract.deploy(chain, disp.address, vk_hash_words)
+        app.write_instance(args.instance)
+        chain.save(args.eth_network)
+        print(f"deployed app at {hex(app.address)}; "
+              f"instance -> {args.instance}")
+    elif args.cmd == "get":
+        app = DummyAppContract.load_instance(chain, args.instance)
+        v = app.get(args.scalar)
+        if v == 0:
+            print("scalar not present")
+            return 1
+        print(f"scalar {args.scalar}: value {hex(v)}")
+        if args.check is not None and v != int(args.check, 16):
+            print("CHECK FAILED", file=sys.stderr)
+            return 1
+    else:
+        print("submit-batch on-chain: use `zecale submit-batch`",
+              file=sys.stderr)
+        return 2
     return 0
 
 

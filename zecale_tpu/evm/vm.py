@@ -197,12 +197,79 @@ def _precompile_gas(addr: int, data: bytes) -> int:
 
 
 class Chain:
-    """A single-block in-memory chain: accounts, deploy, call, logs."""
+    """A single-block in-memory chain: accounts, deploy, call, logs.
+
+    Serializable to JSON so CLI invocations in separate processes share
+    one chain state file (the analog of the reference's --eth-network
+    node endpoint)."""
 
     def __init__(self):
         self.accounts: Dict[int, Account] = {}
         self.logs: List[LogRecord] = []
         self._next_addr = 0x1000
+
+    # -- persistence ------------------------------------------------------
+    def to_json(self) -> dict:
+        return {
+            "next_addr": self._next_addr,
+            "accounts": {
+                hex(a): {
+                    "code": acct.code.hex(),
+                    "storage": {hex(k): hex(v) for k, v in acct.storage.items()},
+                    "balance": acct.balance,
+                    "nonce": acct.nonce,
+                }
+                for a, acct in self.accounts.items()
+            },
+            "logs": [
+                {
+                    "address": hex(l.address),
+                    "topics": [hex(t) for t in l.topics],
+                    "data": l.data.hex(),
+                }
+                for l in self.logs
+            ],
+        }
+
+    @classmethod
+    def from_json(cls, j: dict) -> "Chain":
+        c = cls()
+        c._next_addr = j["next_addr"]
+        for a, acct in j["accounts"].items():
+            c.accounts[int(a, 16)] = Account(
+                code=bytes.fromhex(acct["code"]),
+                storage={
+                    int(k, 16): int(v, 16)
+                    for k, v in acct["storage"].items()
+                },
+                balance=acct["balance"],
+                nonce=acct["nonce"],
+            )
+        c.logs = [
+            LogRecord(
+                int(l["address"], 16),
+                [int(t, 16) for t in l["topics"]],
+                bytes.fromhex(l["data"]),
+            )
+            for l in j["logs"]
+        ]
+        return c
+
+    def save(self, path: str):
+        import json
+
+        with open(path, "w") as f:
+            json.dump(self.to_json(), f)
+
+    @classmethod
+    def load(cls, path: str) -> "Chain":
+        import json
+        import os
+
+        if not os.path.exists(path):
+            return cls()
+        with open(path) as f:
+            return cls.from_json(json.load(f))
 
     def account(self, addr: int) -> Account:
         return self.accounts.setdefault(addr, Account())
