@@ -95,12 +95,12 @@ def main():
     def timeit(name, fn, k=3):
         o = fn(scal8, pts_dev)
         leaf = jax.tree_util.tree_leaves(o)[0]
-        _ = np.asarray(leaf)[:1]
+        _ = np.asarray(leaf).ravel()[:1]
         t0 = time.time()
         for _ in range(k):
             o = fn(scal8, pts_dev)
             leaf = jax.tree_util.tree_leaves(o)[0]
-            _ = np.asarray(leaf)[:1]
+            _ = np.asarray(leaf).ravel()[:1]
         dt = (time.time() - t0) / k
         log(f"{name}: {dt*1e3:.0f} ms")
         return dt
