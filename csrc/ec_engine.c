@@ -636,6 +636,89 @@ static void fq_batch_inverse(const fp_ctx *c, u64 *vals, long n,
     free(pref);
 }
 
+/* The shared Miller-chain builder: walks the G1 double-and-add chain for
+ * the group-order bits, batch-normalizes every intermediate T (ONE
+ * Fermat), and produces all line slopes with a second batched inversion.
+ * Returns the number of steps; steps[s] = {xt, yt, lam, is_add, skip}.
+ * Used by both the BW6-761 (direct sextic) and BLS12-377 (sextic over
+ * Fq2) Miller products. */
+static long build_miller_steps(const curve_ctx *g1, const u64 *px,
+                               const u64 *py, const uint8_t *r_bits,
+                               int nbits, miller_step *steps, u64 *jac,
+                               u64 *affs, uint8_t *ainf, u64 *dens,
+                               const u64 *exp_p2, int exp_limbs,
+                               const u64 *one_m)
+{
+    const fp_ctx *c = &g1->f.fp;
+    int nl = c->nl;
+    long ns = 0;
+    u64 T[3 * MAX_LIMBS];
+    memcpy(T, px, nl * sizeof(u64));
+    memcpy(T + nl, py, nl * sizeof(u64));
+    memcpy(T + 2 * nl, one_m, nl * sizeof(u64));
+    for (int b = 1; b < nbits; ++b) {
+        memcpy(jac + (size_t)ns * 3 * nl, T, 3 * nl * sizeof(u64));
+        steps[ns].is_add = 0;
+        ++ns;
+        jac_dbl(g1, T, T + nl, T + 2 * nl);
+        if (r_bits[b]) {
+            memcpy(jac + (size_t)ns * 3 * nl, T, 3 * nl * sizeof(u64));
+            steps[ns].is_add = 1;
+            ++ns;
+            jac_add_mixed(g1, T, T + nl, T + 2 * nl, px, py, one_m);
+        }
+    }
+    jac_to_affine_batch(g1, affs, ainf, jac, ns, exp_p2, exp_limbs, one_m);
+    for (long s = 0; s < ns; ++s) {
+        u64 *xt = affs + (size_t)s * 2 * nl;
+        u64 *yt = xt + nl;
+        memcpy(steps[s].xt, xt, nl * sizeof(u64));
+        memcpy(steps[s].yt, yt, nl * sizeof(u64));
+        steps[s].skip = 0;
+        if (ainf[s]) { /* T infinite: line degenerate, skip */
+            steps[s].skip = 1;
+            memset(dens + (size_t)s * nl, 0, nl * sizeof(u64));
+            continue;
+        }
+        if (!steps[s].is_add) {
+            fp_add(c, dens + (size_t)s * nl, yt, yt); /* 2y */
+            int z = 1;
+            for (int j = 0; j < nl; ++j)
+                if (dens[(size_t)s * nl + j]) { z = 0; break; }
+            if (z)
+                steps[s].skip = 1; /* 2-torsion: vertical tangent */
+        } else {
+            u64 d[MAX_LIMBS];
+            fp_sub(c, d, px, xt); /* x1 - xt */
+            int z = 1;
+            for (int j = 0; j < nl; ++j)
+                if (d[j]) { z = 0; break; }
+            if (z)
+                steps[s].skip = 1; /* T == +-P: vertical chord */
+            memcpy(dens + (size_t)s * nl, d, nl * sizeof(u64));
+        }
+    }
+    fq_batch_inverse(c, dens, ns, exp_p2, exp_limbs, one_m);
+    for (long s = 0; s < ns; ++s) {
+        if (steps[s].skip)
+            continue;
+        u64 num[MAX_LIMBS];
+        if (!steps[s].is_add) {
+            u64 xx[MAX_LIMBS];
+            fp_montmul(c, xx, steps[s].xt, steps[s].xt);
+            fp_add(c, num, xx, xx);
+            fp_add(c, num, num, xx); /* 3x^2 (a == 0) */
+            if (!g1->a_is_zero)
+                fp_add(c, num, num, g1->a_coeff);
+        } else {
+            fp_sub(c, num, py, steps[s].yt); /* y1 - yt */
+        }
+        fp_montmul(c, steps[s].lam, num, dens + (size_t)s * nl);
+    }
+    return ns;
+}
+
+
 /* f *= l where l = c0 + c3 w^3 + c4 w^4 (3-sparse sextic). */
 static void fq6_mul_sparse034(const ext_ctx *e6, u64 *f, const u64 *c0,
                               const u64 *c3, const u64 *c4)
@@ -692,74 +775,10 @@ void bw6_miller_product(const ext_ctx *e6, const curve_ctx *g1,
         const u64 *qx = qs + (size_t)pi * 2 * nl;
         const u64 *qy = qx + nl;
 
-        /* phase A: Jacobian chain, recording T before each step */
-        long ns = 0;
-        u64 T[3 * MAX_LIMBS];
-        memcpy(T, px, nl * sizeof(u64));
-        memcpy(T + nl, py, nl * sizeof(u64));
-        memcpy(T + 2 * nl, one_m, nl * sizeof(u64));
-        for (int b = 1; b < nbits; ++b) {
-            memcpy(jac + (size_t)ns * 3 * nl, T, 3 * nl * sizeof(u64));
-            steps[ns].is_add = 0;
-            ++ns;
-            jac_dbl(g1, T, T + nl, T + 2 * nl);
-            if (r_bits[b]) {
-                memcpy(jac + (size_t)ns * 3 * nl, T, 3 * nl * sizeof(u64));
-                steps[ns].is_add = 1;
-                ++ns;
-                jac_add_mixed(g1, T, T + nl, T + 2 * nl, px, py, one_m);
-            }
-        }
-        /* normalize the recorded chain */
-        jac_to_affine_batch(g1, affs, ainf, jac, ns, exp_p2, exp_limbs,
-                            one_m);
-        /* slopes: denominators then batch invert */
-        for (long s = 0; s < ns; ++s) {
-            u64 *xt = affs + (size_t)s * 2 * nl;
-            u64 *yt = xt + nl;
-            memcpy(steps[s].xt, xt, nl * sizeof(u64));
-            memcpy(steps[s].yt, yt, nl * sizeof(u64));
-            steps[s].skip = 0;
-            if (ainf[s]) { /* T infinite: line degenerate, skip */
-                steps[s].skip = 1;
-                memset(dens + (size_t)s * nl, 0, nl * sizeof(u64));
-                continue;
-            }
-            if (!steps[s].is_add) {
-                fp_add(c, dens + (size_t)s * nl, yt, yt); /* 2y */
-                int z = 1;
-                for (int j = 0; j < nl; ++j)
-                    if (dens[(size_t)s * nl + j]) { z = 0; break; }
-                if (z)
-                    steps[s].skip = 1; /* 2-torsion: vertical tangent */
-            } else {
-                u64 d[MAX_LIMBS];
-                fp_sub(c, d, px, xt); /* x1 - xt */
-                int z = 1;
-                for (int j = 0; j < nl; ++j)
-                    if (d[j]) { z = 0; break; }
-                if (z)
-                    steps[s].skip = 1; /* T == +-P: vertical chord */
-                memcpy(dens + (size_t)s * nl, d, nl * sizeof(u64));
-            }
-        }
-        fq_batch_inverse(c, dens, ns, exp_p2, exp_limbs, one_m);
-        for (long s = 0; s < ns; ++s) {
-            if (steps[s].skip)
-                continue;
-            u64 num[MAX_LIMBS];
-            if (!steps[s].is_add) {
-                u64 xx[MAX_LIMBS];
-                fp_montmul(c, xx, steps[s].xt, steps[s].xt);
-                fp_add(c, num, xx, xx);
-                fp_add(c, num, num, xx); /* 3x^2 (a == 0) */
-                if (!g1->a_is_zero)
-                    fp_add(c, num, num, g1->a_coeff);
-            } else {
-                fp_sub(c, num, py, steps[s].yt); /* y1 - yt */
-            }
-            fp_montmul(c, steps[s].lam, num, dens + (size_t)s * nl);
-        }
+        long ns = build_miller_steps(g1, px, py, r_bits, nbits, steps,
+                                     jac, affs, ainf, dens, exp_p2,
+                                     exp_limbs, one_m);
+        (void)ns;
         /* phase B: per-pair f accumulation with sparse lines */
         u64 fpair[6 * MAX_LIMBS];
         memset(fpair, 0, 6 * (size_t)nl * sizeof(u64));
@@ -813,4 +832,184 @@ void ext_pow(const ext_ctx *e, u64 *out, const u64 *f, const u64 *exp,
              int explimbs, const u64 *one_m)
 {
     epow(e, out, f, exp, explimbs, one_m);
+}
+
+/* -- BLS12-377 Tate pairing (towered sextic Fq12 = Fq2[w]/(w^6 - u)) ------
+ *
+ * Two-level composition: the base of the sextic is Fq2 = Fq[u]/(u^2+5)
+ * (the existing k=2 ext_ctx), and w^6 folds to the Fq2 generator u.  The
+ * G1 Miller chain is SHARED with the BW6 path (build_miller_steps); only
+ * the line placement differs: the D-type untwist multiplies G2 coords by
+ * w^2 / w^3 (host_pairing.py: c = 1/w, untwist_x = w^2), so each line is
+ * the 3-sparse element
+ *     l = (lam*xt - yt)  +  (-lam * xq) w^2  +  (yq) w^3
+ * with the w^2/w^3 coefficients in Fq2.
+ */
+
+typedef struct {
+    ext_ctx fq2;            /* k=2 over fp */
+    u64 nr2[2 * MAX_LIMBS]; /* w^6 = nr2 (an Fq2 element, Montgomery) */
+} tow_ctx;
+
+long tow_ctx_size(void) { return (long)sizeof(tow_ctx); }
+
+void tow_init(tow_ctx *t, int nl, const u64 *mod, const u64 *r2, u64 n0inv,
+              const u64 *qnr_mont, const u64 *nr2_mont)
+{
+    ext_init(&t->fq2, nl, mod, r2, n0inv, 2, qnr_mont);
+    memcpy(t->nr2, nr2_mont, 2 * (size_t)nl * sizeof(u64));
+}
+
+/* schoolbook 6x6 over Fq2 with w^6 -> nr2 fold (36 Fq2 muls) */
+static void tow_mul(const tow_ctx *t, u64 *o, const u64 *a, const u64 *b)
+{
+    const ext_ctx *e = &t->fq2;
+    int w = e->ew; /* u64s per Fq2 element */
+    u64 accl[6][2 * MAX_LIMBS], acch[6][2 * MAX_LIMBS],
+        tmp[2 * MAX_LIMBS];
+    memset(accl, 0, sizeof(accl));
+    memset(acch, 0, sizeof(acch));
+    for (int i = 0; i < 6; ++i)
+        for (int j = 0; j < 6; ++j) {
+            emul(e, tmp, a + (size_t)i * w, b + (size_t)j * w);
+            if (i + j < 6)
+                eadd(e, accl[i + j], accl[i + j], tmp);
+            else
+                eadd(e, acch[i + j - 6], acch[i + j - 6], tmp);
+        }
+    for (int i = 0; i < 6; ++i) {
+        emul(e, tmp, acch[i], t->nr2);
+        eadd(e, o + (size_t)i * w, accl[i], tmp);
+    }
+}
+
+/* f *= l with l = c0 + c2 w^2 + c3 w^3 (c_i in Fq2). */
+static void tow_mul_sparse023(const tow_ctx *t, u64 *f, const u64 *c0,
+                              const u64 *c2, const u64 *c3)
+{
+    const ext_ctx *e = &t->fq2;
+    int w = e->ew;
+    u64 out[6][2 * MAX_LIMBS], tmp[2 * MAX_LIMBS];
+    memset(out, 0, sizeof(out));
+    const u64 *coeffs[3] = {c0, c2, c3};
+    const int pos[3] = {0, 2, 3};
+    for (int s = 0; s < 3; ++s)
+        for (int i = 0; i < 6; ++i) {
+            int d = i + pos[s];
+            emul(e, tmp, f + (size_t)i * w, coeffs[s]);
+            if (d >= 6) {
+                emul(e, tmp, tmp, t->nr2);
+                d -= 6;
+            }
+            eadd(e, out[d], out[d], tmp);
+        }
+    /* row stride of `out` is 2*MAX_LIMBS, not the element width w:
+     * copy per coefficient */
+    for (int i = 0; i < 6; ++i)
+        memcpy(f + (size_t)i * w, out[i], (size_t)w * sizeof(u64));
+}
+
+/* out = f ^ exp over Fq12 (exp little-endian u64s; one12 = 1 in Fq12). */
+void tow_pow(const tow_ctx *t, u64 *out, const u64 *f, const u64 *exp,
+             int explimbs, const u64 *one12)
+{
+    int w12 = 12 * t->fq2.fp.nl;
+    u64 acc[12 * MAX_LIMBS];
+    memcpy(acc, one12, (size_t)w12 * sizeof(u64));
+    int top = explimbs * 64 - 1;
+    while (top >= 0 && !((exp[top / 64] >> (top % 64)) & 1))
+        --top;
+    for (int b = top; b >= 0; --b) {
+        tow_mul(t, acc, acc, acc);
+        if ((exp[b / 64] >> (b % 64)) & 1)
+            tow_mul(t, acc, acc, f);
+    }
+    memcpy(out, acc, (size_t)w12 * sizeof(u64));
+}
+
+/* test exports */
+void tow_mul_pub(const tow_ctx *t, u64 *o, const u64 *a, const u64 *b)
+{
+    tow_mul(t, o, a, b);
+}
+
+void tow_sparse023_pub(const tow_ctx *t, u64 *f, const u64 *c0,
+                       const u64 *c2, const u64 *c3)
+{
+    tow_mul_sparse023(t, f, c0, c2, c3);
+}
+
+/* prod_i f_{r,P_i}(psi(Q_i)) WITHOUT final exponentiation.
+ * ps: n G1 affine pairs (2*nl u64); qs: n G2 affine pairs with Fq2
+ * coords (4*nl u64: x0 x1 y0 y1); out_f: 12*nl u64. */
+void bls_miller_product(const tow_ctx *tw, const curve_ctx *g1,
+                        const u64 *ps, const u64 *qs, const uint8_t *skip,
+                        long n, const uint8_t *r_bits, int nbits,
+                        const u64 *exp_p2, int exp_limbs,
+                        const u64 *one_m, u64 *out_f)
+{
+    const fp_ctx *c = &tw->fq2.fp;
+    int nl = c->nl;
+    int w2 = 2 * nl;
+    long max_steps = 2L * nbits + 8;
+    memset(out_f, 0, 12 * (size_t)nl * sizeof(u64));
+    memcpy(out_f, one_m, nl * sizeof(u64));
+
+    miller_step *steps = (miller_step *)malloc(
+        (size_t)max_steps * sizeof(miller_step));
+    u64 *jac = (u64 *)malloc((size_t)max_steps * 3 * nl * sizeof(u64));
+    u64 *affs = (u64 *)malloc((size_t)max_steps * 2 * nl * sizeof(u64));
+    uint8_t *ainf = (uint8_t *)malloc((size_t)max_steps);
+    u64 *dens = (u64 *)malloc((size_t)max_steps * nl * sizeof(u64));
+
+    for (long pi = 0; pi < n; ++pi) {
+        if (skip && skip[pi])
+            continue;
+        const u64 *px = ps + (size_t)pi * 2 * nl;
+        const u64 *py = px + nl;
+        const u64 *qx = qs + (size_t)pi * 4 * nl; /* (x0, x1) */
+        const u64 *qy = qx + w2;                  /* (y0, y1) */
+
+        long ns = build_miller_steps(g1, px, py, r_bits, nbits, steps,
+                                     jac, affs, ainf, dens, exp_p2,
+                                     exp_limbs, one_m);
+        (void)ns;
+
+        u64 fpair[12 * MAX_LIMBS];
+        memset(fpair, 0, 12 * (size_t)nl * sizeof(u64));
+        memcpy(fpair, one_m, nl * sizeof(u64));
+        long s = 0;
+        for (int b = 1; b < nbits; ++b) {
+            int reps = r_bits[b] ? 2 : 1;
+            for (int a_ = 0; a_ < reps; ++a_) {
+                if (a_ == 0) /* f = f^2 before the doubling line */
+                    tow_mul(tw, fpair, fpair, fpair);
+                if (!steps[s].skip) {
+                    u64 c0[2 * MAX_LIMBS], c2[2 * MAX_LIMBS],
+                        c3[2 * MAX_LIMBS], t[MAX_LIMBS],
+                        zero[MAX_LIMBS];
+                    memset(zero, 0, sizeof(zero));
+                    /* c0 = lam*xt - yt (Fq, embedded in the c0 lane) */
+                    memset(c0, 0, sizeof(c0));
+                    fp_montmul(c, t, steps[s].lam, steps[s].xt);
+                    fp_sub(c, c0, t, steps[s].yt);
+                    /* c2 = -lam * xq (componentwise over Fq2) */
+                    fp_montmul(c, t, steps[s].lam, qx);
+                    fp_sub(c, c2, zero, t);
+                    fp_montmul(c, t, steps[s].lam, qx + nl);
+                    fp_sub(c, c2 + nl, zero, t);
+                    /* c3 = yq */
+                    memcpy(c3, qy, (size_t)w2 * sizeof(u64));
+                    tow_mul_sparse023(tw, fpair, c0, c2, c3);
+                }
+                ++s;
+            }
+        }
+        tow_mul(tw, out_f, out_f, fpair);
+    }
+    free(steps);
+    free(jac);
+    free(affs);
+    free(ainf);
+    free(dens);
 }

@@ -84,3 +84,59 @@ def test_groth16_verify_uses_fast_path():
         (host.g1.neg(proof.c), kp.vk.delta),
     ]
     assert host.ctx.pairing_product_is_one(pairs)
+
+
+def test_native_bls12_pairing_matches_host():
+    """BLS12-377 native Tate pairing (towered sextic Fq12 = Fq2[w]^6-u,
+    csrc bls_miller_product + tow_pow) == the host oracle, plus the
+    bilinearity and negative gates.  Kills the Python-oracle verify path
+    for nested proofs (round-2 KNOWN_GAPS #7)."""
+    import random
+
+    from zecale_tpu.ec import host_curve as hc
+    from zecale_tpu.ff import params as P
+    from zecale_tpu.native import pairing as npair
+    from zecale_tpu.pairing import host_pairing as hp
+
+    eng = npair.bls12()
+    if eng is None:
+        import pytest
+
+        pytest.skip("native engine unavailable")
+    ctx = hp.ctx("bls12-377")
+    g1g, g2g = hc.generators("bls12-377")
+    crv1 = hc.g1_curve("bls12-377")
+    crv2 = hc.g2_curve("bls12-377")
+    rng = random.Random(4)
+    r = P.CURVES["bls12-377"].r
+    pairs = [
+        (
+            crv1.mul(rng.randrange(1, r), g1g),
+            crv2.mul(rng.randrange(1, r), g2g),
+        )
+        for _ in range(3)
+    ]
+    assert eng.pairing_product(pairs) == ctx.pairing_product(pairs)
+    a, b = rng.randrange(1, r), rng.randrange(1, r)
+    p1 = crv1.mul(a, g1g)
+    q1 = crv2.mul(b, g2g)
+    p2 = crv1.neg(crv1.mul(a * b % r, g1g))
+    assert eng.pairing_product_is_one([(p1, q1), (p2, g2g)])
+    assert not eng.pairing_product_is_one([(p1, q1), (p2, q1)])
+    # infinity pairs are skipped (contribute the identity)
+    assert eng.pairing_product_is_one([(None, q1), (p1, None)])
+
+
+def test_groth16_bls_verify_routes_native():
+    """Groth16('bls12-377').verify runs on the native pairing and stays
+    correct (fresh prove/verify round trip + corrupted-input reject)."""
+    import random
+
+    from zecale_tpu.aggregator import dummy_app as da
+    from zecale_tpu.snark.groth16 import Groth16
+
+    r1cs, kp = da.dummy_app_setup("bls12-377", random.Random(2))
+    p = da.dummy_app_prove("bls12-377", kp, 11)
+    g = Groth16("bls12-377")
+    assert g.verify(p.inputs, p.proof, kp.vk)
+    assert not g.verify([12], p.proof, kp.vk)

@@ -137,3 +137,130 @@ def bw6() -> Optional[NativeBW6Pairing]:
     if not nec.available():
         return None
     return NativeBW6Pairing()
+
+
+class NativeBLS12Pairing:
+    """BLS12-377 Tate pairing via the C engine's towered sextic
+    Fq12 = Fq2[w]/(w^6 - u) (csrc/ec_engine.c bls_miller_product +
+    tow_pow).  Kills the Python-oracle verify path for nested proofs
+    (round-2 KNOWN_GAPS #7); differentially tested against
+    zecale_tpu/pairing/host_pairing.py."""
+
+    CURVE = "bls12-377"
+
+    def __init__(self):
+        assert nec.available()
+        self.lib = nec._lib()
+        cp = P.CURVES[self.CURVE]
+        self.q = cp.q
+        self.r = cp.r
+        self.nl = -(-self.q.bit_length() // 64)
+        R = 1 << (64 * self.nl)
+        self._R = R
+        n0inv = (-pow(self.q, -1, 1 << 64)) % (1 << 64)
+        qnr = P.BLS12_377_FQ2_QNR
+        self.lib.tow_ctx_size.restype = ctypes.c_long
+        self._tw = ctypes.create_string_buffer(self.lib.tow_ctx_size())
+        # nr2 = u (the Fq2 generator): (0, 1) in Montgomery form
+        nr2 = np.zeros(2 * self.nl, dtype=np.uint64)
+        nr2[self.nl :] = nec._u64s(R % self.q, self.nl)
+        self.lib.tow_init(
+            self._tw,
+            ctypes.c_int(self.nl),
+            nec._ptr(nec._u64s(self.q, self.nl)),
+            nec._ptr(nec._u64s(R * R % self.q, self.nl)),
+            ctypes.c_uint64(n0inv),
+            nec._ptr(nec._u64s(qnr * R % self.q, self.nl)),
+            nec._ptr(nr2),
+        )
+        self.g1 = nec.NativeCurve(self.CURVE, g2=False)
+        self._one = nec._u64s(R % self.q, self.nl)
+        self._one12 = np.zeros(12 * self.nl, dtype=np.uint64)
+        self._one12[: self.nl] = self._one
+        self._exp_p2 = nec._u64s(
+            self.q - 2, -(-(self.q - 2).bit_length() // 64)
+        )
+        fe = (self.q**12 - 1) // self.r
+        self._fe = nec._u64s(fe, -(-fe.bit_length() // 64))
+        bits = bin(self.r)[2:]
+        self._rbits = np.frombuffer(
+            bytes(int(b) for b in bits), dtype=np.uint8
+        ).copy()
+
+    def miller_product(self, pairs: Sequence[Tuple]) -> np.ndarray:
+        live = [
+            (p, q) for p, q in pairs if p is not None and q is not None
+        ]
+        n = len(live)
+        out = self._one12.copy()
+        if not n:
+            return out
+        ps = np.zeros((n, 2 * self.nl), dtype=np.uint64)
+        qs = np.zeros((n, 4 * self.nl), dtype=np.uint64)
+        for i, (p, q) in enumerate(live):
+            ps[i, : self.nl] = self.g1._elem_to_mont(p[0])
+            ps[i, self.nl :] = self.g1._elem_to_mont(p[1])
+            (x0, x1), (y0, y1) = q  # G2 affine with Fq2 coords
+            qs[i, 0 * self.nl : 1 * self.nl] = self.g1._elem_to_mont(x0)
+            qs[i, 1 * self.nl : 2 * self.nl] = self.g1._elem_to_mont(x1)
+            qs[i, 2 * self.nl : 3 * self.nl] = self.g1._elem_to_mont(y0)
+            qs[i, 3 * self.nl : 4 * self.nl] = self.g1._elem_to_mont(y1)
+        self.lib.bls_miller_product(
+            self._tw,
+            self.g1._ctx,
+            nec._ptr(ps),
+            nec._ptr(qs),
+            None,
+            ctypes.c_long(n),
+            nec._u8ptr(self._rbits),
+            ctypes.c_int(len(self._rbits)),
+            nec._ptr(self._exp_p2),
+            ctypes.c_int(len(self._exp_p2)),
+            nec._ptr(self._one),
+            nec._ptr(out),
+        )
+        return out
+
+    def _final_exp(self, f: np.ndarray) -> np.ndarray:
+        out = np.zeros_like(f)
+        self.lib.tow_pow(
+            self._tw,
+            nec._ptr(out),
+            nec._ptr(f),
+            nec._ptr(self._fe),
+            ctypes.c_int(len(self._fe)),
+            nec._ptr(self._one12),
+        )
+        return out
+
+    def pairing_product_is_one(self, pairs) -> bool:
+        f = self._final_exp(self.miller_product(pairs))
+        return bool(np.array_equal(f, self._one12))
+
+    def pairing_product(self, pairs) -> tuple:
+        """Full pairing product mapped to the host oracle's nested tower
+        representation (Fq12 = Fq6[w]/(w^2-v), Fq6 = Fq2[v]/(v^3-u)):
+        direct coefficient s_i of w^i -> ((s0,s2,s4),(s1,s3,s5)) with
+        each s_i an Fq2 pair."""
+        out = self._final_exp(self.miller_product(pairs))
+        rinv = pow(self._R, self.q - 2, self.q)
+        s = []
+        for i in range(6):
+            c0 = int.from_bytes(
+                out[(2 * i) * self.nl : (2 * i + 1) * self.nl].tobytes(),
+                "little",
+            ) * rinv % self.q
+            c1 = int.from_bytes(
+                out[(2 * i + 1) * self.nl : (2 * i + 2) * self.nl]
+                .tobytes(),
+                "little",
+            ) * rinv % self.q
+            s.append((c0, c1))
+        return ((s[0], s[2], s[4]), (s[1], s[3], s[5]))
+
+
+@functools.lru_cache(maxsize=1)
+def bls12() -> Optional[NativeBLS12Pairing]:
+    if not nec.available():
+        return None
+    return NativeBLS12Pairing()

@@ -131,11 +131,11 @@ class Groth16:
         """Pairing check: the native C engine when available for the curve
         (~50x the Python oracle; differentially validated in
         tests/test_native_pairing.py), the host oracle otherwise."""
-        if self.curve_name == "bw6-761":
+        if self.curve_name in ("bw6-761", "bls12-377"):
             try:
-                from ..native.pairing import bw6
+                from ..native.pairing import bls12, bw6
 
-                npair = bw6()
+                npair = bw6() if self.curve_name == "bw6-761" else bls12()
             except Exception:
                 npair = None
             if npair is not None:
