@@ -63,3 +63,25 @@ def test_scrubbed_env_is_clean(monkeypatch):
     assert "--xla_force_host_platform_device_count=8" in env["XLA_FLAGS"]
     assert ".axon_site" not in env.get("PYTHONPATH", "")
     assert env[ge._CHILD_FLAG] == "1"
+
+
+@pytest.mark.slow
+def test_multihost_process_group_dryrun():
+    """2 CPU processes x 4 devices via jax.distributed.initialize: the
+    sharded iFFT's ppermute exchanges cross the process boundary (Gloo)
+    and the gathered result value-matches the host oracle."""
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if "AXON" not in k and not k.startswith("PALLAS_")
+    }
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "multihost_dryrun.py")],
+        env=env,
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=660,
+    )
+    assert proc.returncode == 0, proc.stdout[-1500:] + proc.stderr[-1500:]
+    assert "MULTIHOST OK" in proc.stdout

@@ -336,15 +336,38 @@ def _compact_indices(keep, out_size):
 
 
 def _pair_flags(keys):
-    """(can_pair, keep) for one combining round over sorted keys."""
+    """(can_pair, keep) for one combining round over sorted keys.
+
+    Rank-in-segment via a cummax over segment-start positions — a couple
+    of log-depth vector passes.  (The round-2 searchsorted(keys, keys)
+    formulation lowered to per-element binary-search gathers on TPU and
+    dominated the combining rounds' non-kernel time.)"""
     s = keys.shape[0]
-    first = jnp.searchsorted(keys, keys, side="left").astype(jnp.int32)
-    rank = jnp.arange(s, dtype=jnp.int32) - first
+    iota = jnp.arange(s, dtype=jnp.int32)
+    prev = jnp.concatenate([jnp.full((1,), -9, jnp.int32), keys[:-1]])
+    start = keys != prev
+    first = jax.lax.cummax(jnp.where(start, iota, 0))
+    rank = iota - first
     even = (rank & 1) == 0
     nxt = jnp.concatenate([keys[1:], jnp.full((1,), -7, jnp.int32)])
     can_pair = even & (nxt == keys) & (keys != SENT)
     keep = even & (keys != SENT)
     return can_pair, keep
+
+
+def _gather_pt_wide(pts, idx):
+    """Gather {"x","y","z"} rows through ONE concatenated-coordinate
+    gather: TPU gathers are per-ROW-overhead bound (measured ~90 ns/row
+    regardless of width), so one (n, 3L) gather costs a third of three
+    (n, L) gathers."""
+    cat = jnp.concatenate([pts["x"], pts["y"], pts["z"]], axis=-1)
+    L = pts["x"].shape[-1]
+    r = cat[idx]
+    return {
+        "x": r[..., :L],
+        "y": r[..., L : 2 * L],
+        "z": r[..., 2 * L :],
+    }
 
 
 def _combine_round(crv, keys, pts, out_size):
@@ -354,9 +377,9 @@ def _combine_round(crv, keys, pts, out_size):
     g, valid = _compact_indices(keep, out_size)
     s = keys.shape[0]
     new_keys = jnp.where(valid, keys[g], SENT)
-    p1 = _gather_pt(pts, g)
+    p1 = _gather_pt_wide(pts, g)
     g2i = jnp.clip(g + 1, 0, s - 1)
-    p2 = _gather_pt(pts, g2i)
+    p2 = _gather_pt_wide(pts, g2i)
     p2 = crv.mask(p2, can_pair[g] & valid)
     p1 = crv.mask(p1, valid)
     return new_keys, crv.add(p1, p2)
@@ -405,9 +428,13 @@ def _build_sorted_affine(F, buckets, signs, pts_aff, c: int):
     keys = keyf[order]
     src = order % n  # original point index
     neg = (signs.reshape(N)[order] > 0) & (keys != SENT)
-    y = pts_aff["y"][src]
+    # one wide-row gather for both coordinates (see _gather_pt_wide)
+    cat = jnp.concatenate([pts_aff["x"], pts_aff["y"]], axis=-1)
+    L = pts_aff["x"].shape[-1]
+    r = cat[src]
+    x, y = r[..., :L], r[..., L:]
     aff = {
-        "x": pts_aff["x"][src],
+        "x": x,
         "y": F.select(neg, F.neg(y), y),
         "inf": keys == SENT,
     }
@@ -466,7 +493,7 @@ def msm8_core(crv, F, buckets, signs, pts_aff, c: int,
     pos = jnp.searchsorted(keys, ids, side="left").astype(jnp.int32)
     posc = jnp.clip(pos, 0, keys.shape[0] - 1)
     hit = (pos < keys.shape[0]) & (keys[posc] == ids)
-    bpts = crv.mask(_gather_pt(pts, posc), hit)
+    bpts = crv.mask(_gather_pt_wide(pts, posc), hit)
     bpts = {k: v.reshape(M, G, W, *v.shape[1:]) for k, v in bpts.items()}
 
     # weighted bucket reduction, compile-lean:
