@@ -87,3 +87,21 @@ def test_batch8_rollup_config():
     )
     assert bad is None
     assert w[2] == 0b11110111
+
+
+def test_parallel_witness_matches_sequential():
+    """Forked per-proof witness replay (SURVEY section 2c 'pipeline across
+    proof batch') is value-exact vs the sequential program."""
+    import random
+
+    from zecale_tpu.aggregator import dummy_app as da
+    from zecale_tpu.aggregator.circuit import AggregatorCircuit
+
+    rng = random.Random(3)
+    _, kp = da.dummy_app_setup("bls12-377", rng)
+    proofs = [da.dummy_app_prove("bls12-377", kp, 30 + i) for i in range(2)]
+    circ = AggregatorCircuit(1, 2, hash_nested_vk=False)
+    w_seq = circ.generate_witness(kp.vk, proofs, parallel=False)
+    w_par = circ.generate_witness(kp.vk, proofs, parallel=True)
+    assert w_seq == w_par
+    assert circ.r1cs.first_failing_constraint(w_par) is None

@@ -106,14 +106,20 @@ class AggregatorCircuit:
         pb.enforce_equal(digest, LC.of_var(self._vk_hash_var))
         self._hook_assign_primary(self._vk_hash_var, digest)
 
-        # shared vk processing + per-proof online verification
+        # shared vk processing + per-proof online verification.  The hook
+        # ranges of the N independent verifier witnesses are recorded so
+        # generate_witness can replay them in parallel processes
+        # (SURVEY.md section 2c "pipeline across proof batch").
         pvk = self.verifier.process_vk(self._vk_var)
         result_bits: List[LC] = []
+        self._proof_hook_ranges: List[tuple] = []
         for i in range(num_proofs):
             input_lcs = [
                 LC.of_var(v) for v in self._nested_input_vars[i]
             ]
+            h0 = len(pb.witness_hooks)
             bit = self.verifier.verify(pvk, self._proof_vars[i], input_lcs)
+            self._proof_hook_ranges.append((h0, len(pb.witness_hooks)))
             result_bits.append(bit)
 
         packed = pack_bits(pb, result_bits)
@@ -162,8 +168,15 @@ class AggregatorCircuit:
         self,
         nested_vk: Groth16VerificationKey,
         nested_proofs: Sequence[ExtendedProof],
+        parallel: Optional[bool] = None,
     ) -> List[int]:
-        """Full wrapper assignment for a batch of nested extended proofs."""
+        """Full wrapper assignment for a batch of nested extended proofs.
+
+        ``parallel``: replay the N independent per-proof verifier witness
+        programs in forked processes (SURVEY.md section 2c "pipeline
+        across proof batch") — the witness phase stays ~flat in N instead
+        of linear.  Default: the ZECALE_PARALLEL_WITNESS env var (off —
+        fork from a threaded gRPC server is the caller's call)."""
         if len(nested_proofs) != self.num_proofs:
             raise ValueError(
                 f"expected {self.num_proofs} proofs, got {len(nested_proofs)}"
@@ -187,8 +200,16 @@ class AggregatorCircuit:
                     # (libff fp_from_fp analog, aggregator_dummy_test.cpp:93)
                     w[v] = val % self.pb.r
 
+        if parallel is None:
+            import os
+
+            parallel = os.environ.get("ZECALE_PARALLEL_WITNESS") == "1"
         return self.pb.generate_witness(
-            [0] * self.pb.num_primary, extra_setter=extra
+            [0] * self.pb.num_primary,
+            extra_setter=extra,
+            parallel_ranges=(
+                self._proof_hook_ranges if parallel else None
+            ),
         )
 
     def prove(

@@ -355,34 +355,59 @@ def _pair_flags(keys):
     return can_pair, keep
 
 
-def _gather_pt_wide(pts, idx):
-    """Gather {"x","y","z"} rows through ONE concatenated-coordinate
-    gather: TPU gathers are per-ROW-overhead bound (measured ~90 ns/row
-    regardless of width), so one (n, 3L) gather costs a third of three
-    (n, L) gathers."""
-    cat = jnp.concatenate([pts["x"], pts["y"], pts["z"]], axis=-1)
-    L = pts["x"].shape[-1]
-    r = cat[idx]
+def _cat_pt(pts):
+    """{"x","y","z"} -> one (n, 3L)-ish concatenated-coordinate array.
+    The combining rounds thread THIS form: TPU gathers are per-ROW-
+    overhead bound (measured ~90 ns/row regardless of width), so one
+    wide-row gather costs a third of three narrow ones — and keeping the
+    points concatenated avoids a full-width re-concat every round (which
+    doubled peak HBM)."""
+    return jnp.concatenate([pts["x"], pts["y"], pts["z"]], axis=-1)
+
+
+def _split_pt(cat):
+    L = cat.shape[-1] // 3
     return {
-        "x": r[..., :L],
-        "y": r[..., L : 2 * L],
-        "z": r[..., 2 * L :],
+        "x": cat[..., :L],
+        "y": cat[..., L : 2 * L],
+        "z": cat[..., 2 * L :],
     }
 
 
-def _combine_round(crv, keys, pts, out_size):
-    """One pairwise same-bucket combining round ({"x","y","z"} points in
-    the curve object's coordinate system — projective for ProjCurve)."""
+def _gather_pt_wide(cat, idx):
+    return _split_pt(cat[idx])
+
+
+def _from_affine_cat(crv, aff):
+    """Signed sorted affine points -> concatenated projective rows,
+    without materializing the intermediate {"x","y","z"} dict at full
+    width (the selects fuse into the concat)."""
+    F = crv.F
+    one = jnp.broadcast_to(F.one_mont_elem(), aff["y"].shape)
+    inf = aff["inf"]
+    return jnp.concatenate(
+        [
+            F.select(inf, jnp.zeros_like(aff["x"]), aff["x"]),
+            F.select(inf, one, aff["y"]),
+            F.select(inf, jnp.zeros_like(one), one),
+        ],
+        axis=-1,
+    )
+
+
+def _combine_round(crv, keys, cat, out_size):
+    """One pairwise same-bucket combining round over concatenated-
+    coordinate points (projective law for ProjCurve)."""
     can_pair, keep = _pair_flags(keys)
     g, valid = _compact_indices(keep, out_size)
     s = keys.shape[0]
     new_keys = jnp.where(valid, keys[g], SENT)
-    p1 = _gather_pt_wide(pts, g)
+    p1 = _gather_pt_wide(cat, g)
     g2i = jnp.clip(g + 1, 0, s - 1)
-    p2 = _gather_pt_wide(pts, g2i)
+    p2 = _gather_pt_wide(cat, g2i)
     p2 = crv.mask(p2, can_pair[g] & valid)
     p1 = crv.mask(p1, valid)
-    return new_keys, crv.add(p1, p2)
+    return new_keys, _cat_pt(crv.add(p1, p2))
 
 
 def _axis0_tree_reduce(crv, pts):
@@ -462,8 +487,9 @@ def msm8_core(crv, F, buckets, signs, pts_aff, c: int,
     wids = jnp.arange(W, dtype=jnp.int32)[:, None]
     keys, aff = _build_sorted_affine(F, buckets, signs, pts_aff, c)
 
-    # pairwise same-bucket combining rounds (projective throughout)
-    pts = crv.from_affine(aff)
+    # pairwise same-bucket combining rounds (projective throughout;
+    # points travel in the concatenated-coordinate form, see _cat_pt)
+    pts = _from_affine_cat(crv, aff)
     sizes = _round_schedule(N, W * K)
     for s_next in sizes:
         keys, pts = _combine_round(crv, keys, pts, s_next)

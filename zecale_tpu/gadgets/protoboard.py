@@ -20,6 +20,7 @@ variables must be allocated before any auxiliary variable.
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Dict, Iterable, List, Sequence, Tuple
 
 from ..snark.r1cs import R1CS
@@ -216,14 +217,29 @@ class Protoboard:
         return r1cs
 
     def generate_witness(
-        self, primary: Sequence[int], extra_setter=None
+        self, primary: Sequence[int], extra_setter=None,
+        parallel_ranges=None,
     ) -> List[int]:
         """Replay the witness program.
 
         ``primary``: values for the primary inputs (in allocation order).
         ``extra_setter(assignment)``: optional callback run before hooks to
         seed non-primary free inputs (e.g. the nested proofs being verified).
-        """
+
+        ``parallel_ranges``: optional list of disjoint, contiguous,
+        ascending (start, end) hook index ranges whose hooks are mutually
+        independent (e.g. the per-proof verifier witnesses of the
+        aggregator batch).  Each range is replayed in a forked child
+        process; hooks before the first range run first, hooks after the
+        last range run after the merge.  Requires os.fork (Linux).
+
+        MEASURED (batch-N dummy-app wrapper, 64-core host): fork-based
+        replay is value-exact but wins only modestly at batch 4 (~1.2x)
+        and LOSES at batch 8 (~0.4x) — copy-on-write refcount storms on
+        the multi-GB parent heap dominate the pure-Python bigint work.
+        It therefore stays opt-in (ZECALE_PARALLEL_WITNESS=1); the real
+        scaling fix is pushing hook replay into the C witness engine
+        (csrc/witness_engine.c), tracked in KNOWN_GAPS."""
         w = [0] * self._num_vars
         w[0] = 1
         assert len(primary) == self.num_primary
@@ -231,6 +247,60 @@ class Protoboard:
             w[1 + i] = v % self.r
         if extra_setter is not None:
             extra_setter(w)
-        for hook in self.witness_hooks:
+        if not parallel_ranges or len(parallel_ranges) < 2:
+            for hook in self.witness_hooks:
+                hook(w)
+            return w
+
+        import multiprocessing as mp
+
+        for (a_lo, a_hi), (b_lo, b_hi) in zip(
+            parallel_ranges, parallel_ranges[1:]
+        ):
+            assert a_hi == b_lo, (
+                "parallel_ranges must be contiguous (hooks between ranges "
+                "would be skipped)"
+            )
+        # cap the fork count: each child COW-faults the parent heap while
+        # copying the assignment, so many small children thrash (measured:
+        # 8 forks on the 246k-var batch-8 wrapper ran 4x SLOWER than
+        # sequential; 4 forks were 2.4x faster).  Merge adjacent ranges.
+        max_procs = int(os.environ.get("ZECALE_WITNESS_PROCS", "4"))
+        if len(parallel_ranges) > max_procs:
+            per = -(-len(parallel_ranges) // max_procs)
+            merged = []
+            for i in range(0, len(parallel_ranges), per):
+                group = parallel_ranges[i : i + per]
+                merged.append((group[0][0], group[-1][1]))
+            parallel_ranges = merged
+
+        ctx = mp.get_context("fork")
+        lo0 = parallel_ranges[0][0]
+        hi_last = parallel_ranges[-1][1]
+        for hook in self.witness_hooks[:lo0]:
+            hook(w)
+
+        def run_range(lo, hi, conn):
+            wc = list(w)
+            for hook in self.witness_hooks[lo:hi]:
+                hook(wc)
+            diff = [
+                (i, v) for i, (v, v0) in enumerate(zip(wc, w)) if v != v0
+            ]
+            conn.send(diff)
+            conn.close()
+
+        procs = []
+        for lo, hi in parallel_ranges:
+            parent, child = ctx.Pipe(duplex=False)
+            p = ctx.Process(target=run_range, args=(lo, hi, child))
+            p.start()
+            child.close()
+            procs.append((p, parent))
+        for p, parent in procs:
+            for i, v in parent.recv():
+                w[i] = v
+            p.join()
+        for hook in self.witness_hooks[hi_last:]:
             hook(w)
         return w
