@@ -90,7 +90,12 @@ def main() -> int:
     mpoints = N_POINTS / dt / 1e6
     log(f"steady-state MSM: {dt*1e3:.0f} ms for {N_POINTS} points")
 
-    # correctness vs exact folded oracle (64 distinct bases)
+    # correctness vs exact folded oracle (64 distinct bases).  Fence the
+    # device queue first: without it the remaining steady-state transfers
+    # land in this phase's wall clock over the remote tunnel (the 11 s
+    # "verify regression" flagged by the round-2 advisor was exactly this
+    # attribution artifact, not a compute change).
+    jax.block_until_ready(out)
     with prof.phase("verify"):
         got = msm8.unpack_jac_point8(CURVE, out)
         folded = [0] * 64

@@ -453,14 +453,17 @@ def _build_sorted_affine(F, buckets, signs, pts_aff, c: int):
     keys = keyf[order]
     src = order % n  # original point index
     neg = (signs.reshape(N)[order] > 0) & (keys != SENT)
-    # one wide-row gather for both coordinates (see _gather_pt_wide)
-    cat = jnp.concatenate([pts_aff["x"], pts_aff["y"]], axis=-1)
+    # negate y at the SOURCE width n (the carry network at the flat width
+    # W*n cost ~2.5 GB per Kogge-Stone intermediate at BW6 padding —
+    # round-3 OOM), then ONE wide-row gather + a cheap select between the
+    # gathered y / -y lanes (see _gather_pt_wide on gather row costs)
+    yneg = F.neg(pts_aff["y"])
+    cat = jnp.concatenate([pts_aff["x"], pts_aff["y"], yneg], axis=-1)
     L = pts_aff["x"].shape[-1]
     r = cat[src]
-    x, y = r[..., :L], r[..., L:]
     aff = {
-        "x": x,
-        "y": F.select(neg, F.neg(y), y),
+        "x": r[..., :L],
+        "y": F.select(neg, r[..., 2 * L :], r[..., L : 2 * L]),
         "inf": keys == SENT,
     }
     return keys, aff
