@@ -834,6 +834,97 @@ void ext_pow(const ext_ctx *e, u64 *out, const u64 *f, const u64 *exp,
     epow(e, out, f, exp, explimbs, one_m);
 }
 
+/* -- generic Tate pairing with DENSE lines (MNT4-298 / MNT6-298) ----------
+ *
+ * For the MNT curves the full extension IS a direct binomial over Fq
+ * (Fq4 = Fq[w]/(w^4 - 17), Fq6 = Fq[w]/(w^6 - 5): the tower generators
+ * satisfy u = w^2 / v = w^2), so f rides the existing generic ext_ctx.
+ * The untwisted G2 coordinates spread over several direct positions
+ * (their lines are DENSE), so each line is assembled coefficient-wise
+ * from a host-precomputed monomial placement table:
+ *     x' = sum_j x_j * sx_j * w^{px_j},   y' = sum_j y_j * sy_j * w^{py_j}
+ * and multiplied with a full emul.  The G1 chain is the shared
+ * build_miller_steps.
+ *
+ * qs layout per pair: fg2_deg x-components then fg2_deg y-components,
+ * nl u64 each.  px/py: positions in [0, k); sx/sy: Montgomery scales.
+ */
+void generic_miller_product(const ext_ctx *ek, const curve_ctx *g1,
+                            const u64 *ps, const u64 *qs,
+                            const uint8_t *skip, long n,
+                            const uint8_t *r_bits, int nbits, int fg2_deg,
+                            const int *px, const u64 *sx, const int *py,
+                            const u64 *sy, const u64 *exp_p2,
+                            int exp_limbs, const u64 *one_m, u64 *out_f)
+{
+    const fp_ctx *c = &ek->fp;
+    int nl = c->nl;
+    int k = ek->k;
+    long max_steps = 2L * nbits + 8;
+    memset(out_f, 0, (size_t)ek->ew * sizeof(u64));
+    memcpy(out_f, one_m, nl * sizeof(u64));
+
+    miller_step *steps = (miller_step *)malloc(
+        (size_t)max_steps * sizeof(miller_step));
+    u64 *jac = (u64 *)malloc((size_t)max_steps * 3 * nl * sizeof(u64));
+    u64 *affs = (u64 *)malloc((size_t)max_steps * 2 * nl * sizeof(u64));
+    uint8_t *ainf = (uint8_t *)malloc((size_t)max_steps);
+    u64 *dens = (u64 *)malloc((size_t)max_steps * nl * sizeof(u64));
+
+    for (long pi = 0; pi < n; ++pi) {
+        if (skip && skip[pi])
+            continue;
+        const u64 *px_ = ps + (size_t)pi * 2 * nl;
+        const u64 *py_ = px_ + nl;
+        const u64 *qx = qs + (size_t)pi * 2 * fg2_deg * nl;
+        const u64 *qy = qx + (size_t)fg2_deg * nl;
+
+        long ns = build_miller_steps(g1, px_, py_, r_bits, nbits, steps,
+                                     jac, affs, ainf, dens, exp_p2,
+                                     exp_limbs, one_m);
+        (void)ns;
+
+        u64 fpair[MAX_EW];
+        memset(fpair, 0, (size_t)ek->ew * sizeof(u64));
+        memcpy(fpair, one_m, nl * sizeof(u64));
+        long s = 0;
+        for (int b = 1; b < nbits; ++b) {
+            int reps = r_bits[b] ? 2 : 1;
+            for (int a_ = 0; a_ < reps; ++a_) {
+                if (a_ == 0)
+                    esqr(ek, fpair, fpair);
+                if (!steps[s].skip) {
+                    u64 l[MAX_EW], t[MAX_LIMBS];
+                    memset(l, 0, (size_t)ek->ew * sizeof(u64));
+                    /* l0 = lam*xt - yt */
+                    fp_montmul(c, t, steps[s].lam, steps[s].xt);
+                    fp_sub(c, l, t, steps[s].yt);
+                    for (int j = 0; j < fg2_deg; ++j) {
+                        /* l[px_j] -= lam * x_j * sx_j */
+                        fp_montmul(c, t, steps[s].lam, qx + (size_t)j * nl);
+                        fp_montmul(c, t, t, sx + (size_t)j * nl);
+                        fp_sub(c, l + (size_t)px[j] * nl,
+                               l + (size_t)px[j] * nl, t);
+                        /* l[py_j] += y_j * sy_j */
+                        fp_montmul(c, t, qy + (size_t)j * nl,
+                                   sy + (size_t)j * nl);
+                        fp_add(c, l + (size_t)py[j] * nl,
+                               l + (size_t)py[j] * nl, t);
+                    }
+                    emul(ek, fpair, fpair, l);
+                }
+                ++s;
+            }
+        }
+        emul(ek, out_f, out_f, fpair);
+    }
+    free(steps);
+    free(jac);
+    free(affs);
+    free(ainf);
+    free(dens);
+}
+
 /* -- BLS12-377 Tate pairing (towered sextic Fq12 = Fq2[w]/(w^6 - u)) ------
  *
  * Two-level composition: the base of the sextic is Fq2 = Fq[u]/(u^2+5)

@@ -140,3 +140,38 @@ def test_groth16_bls_verify_routes_native():
     g = Groth16("bls12-377")
     assert g.verify(p.inputs, p.proof, kp.vk)
     assert not g.verify([12], p.proof, kp.vk)
+
+
+@pytest.mark.parametrize("curve", ["mnt4-298", "mnt6-298"])
+def test_native_mnt_pairing_matches_host(curve):
+    """MNT Tate pairings on the generic dense-line C engine == the host
+    oracle (the MNT towers are direct binomials over Fq via w^2 = u/v;
+    line placements derived numerically from the untwist map)."""
+    import random
+
+    from zecale_tpu.ec import host_curve as hc
+    from zecale_tpu.ff import params as P
+    from zecale_tpu.native import pairing as npair
+    from zecale_tpu.pairing import host_pairing as hp
+
+    eng = npair.generic(curve)
+    if eng is None:
+        pytest.skip("native engine unavailable")
+    ctx = hp.ctx(curve)
+    g1g, g2g = hc.generators(curve)
+    crv1, crv2 = hc.g1_curve(curve), hc.g2_curve(curve)
+    rng = random.Random(4)
+    r = P.CURVES[curve].r
+    pairs = [
+        (
+            crv1.mul(rng.randrange(1, r), g1g),
+            crv2.mul(rng.randrange(1, r), g2g),
+        )
+        for _ in range(2)
+    ]
+    assert eng.pairing_product(pairs) == ctx.pairing_product(pairs)
+    a, b = rng.randrange(1, r), rng.randrange(1, r)
+    p1, q1 = crv1.mul(a, g1g), crv2.mul(b, g2g)
+    p2 = crv1.neg(crv1.mul(a * b % r, g1g))
+    assert eng.pairing_product_is_one([(p1, q1), (p2, g2g)])
+    assert not eng.pairing_product_is_one([(p1, q1), (p2, q1)])

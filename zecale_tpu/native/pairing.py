@@ -264,3 +264,183 @@ def bls12() -> Optional[NativeBLS12Pairing]:
     if not nec.available():
         return None
     return NativeBLS12Pairing()
+
+
+class NativeGenericPairing:
+    """MNT4-298 / MNT6-298 Tate pairing via the C engine's generic
+    dense-line Miller product (csrc generic_miller_product + ext_pow).
+
+    The full extension is a direct binomial over Fq (the tower generators
+    satisfy u = w^2 / v = w^2, so Fq4 = Fq[w]/(w^4-17) and
+    Fq6 = Fq[w]/(w^6-5)); the untwisted G2 coordinate components spread
+    over several direct positions, captured in a monomial placement table
+    derived numerically from the host oracle's untwist map."""
+
+    def __init__(self, curve_name: str):
+        assert nec.available()
+        from ..ff import host_field as hf
+        from ..pairing import host_pairing as hp
+
+        self.curve_name = curve_name
+        self.lib = nec._lib()
+        cp = P.CURVES[curve_name]
+        self.q = cp.q
+        self.r = cp.r
+        self.k = cp.embedding_degree
+        self.fg2_deg = cp.g2_degree
+        self.nl = -(-self.q.bit_length() // 64)
+        R = 1 << (64 * self.nl)
+        self._R = R
+        t = hf.towers(curve_name)
+        fqk, fq = t["fqk"], t["fq"]
+        ctx = hp.ctx(curve_name)
+
+        # direct-basis flattening of the nested tower representation:
+        # fqk = BinomialExt(fg2-tower, 2, gen) with gen = w^2, so nested
+        # ((a_0..a_{d-1}), (b_0..b_{d-1})) -> direct [a_0, b_0, a_1, ...]
+        d = self.fg2_deg
+
+        def flatten(e):
+            a, b = e
+            if d == 2:
+                return [a[0], b[0], a[1], b[1]]
+            return [a[0], b[0], a[1], b[1], a[2], b[2]]
+
+        def placement(untwist_c):
+            pos, scale = [], []
+            for j in range(d):
+                basis = tuple(1 if i == j else 0 for i in range(d))
+                m = flatten(fqk.mul(ctx.embed_fg2(basis), untwist_c))
+                nz = [(i, v) for i, v in enumerate(m) if v != 0]
+                assert len(nz) == 1, (
+                    f"untwist image of basis {j} is not a monomial: {nz}"
+                )
+                pos.append(nz[0][0])
+                scale.append(nz[0][1])
+            return pos, scale
+
+        self._px, sx = placement(ctx._untwist_x)
+        self._py, sy = placement(ctx._untwist_y)
+        self._sx = np.concatenate(
+            [nec._u64s(v * R % self.q, self.nl) for v in sx]
+        )
+        self._sy = np.concatenate(
+            [nec._u64s(v * R % self.q, self.nl) for v in sy]
+        )
+
+        # direct-binomial ext context: w^k = nr with nr = gen(fq2/fq3)^2
+        # i.e. the base-field non-residue of the tower (17 / 5)
+        nr = {"mnt4-298": P.MNT4_298_QNR, "mnt6-298": P.MNT6_298_QNR}[
+            curve_name
+        ]
+        n0inv = (-pow(self.q, -1, 1 << 64)) % (1 << 64)
+        self.lib.ext_ctx_size.restype = ctypes.c_long
+        self._ek = ctypes.create_string_buffer(self.lib.ext_ctx_size())
+        self.lib.ext_init(
+            self._ek,
+            ctypes.c_int(self.nl),
+            nec._ptr(nec._u64s(self.q, self.nl)),
+            nec._ptr(nec._u64s(R * R % self.q, self.nl)),
+            ctypes.c_uint64(n0inv),
+            ctypes.c_int(self.k),
+            nec._ptr(nec._u64s(nr * R % self.q, self.nl)),
+        )
+        self.g1 = nec.NativeCurve(curve_name, g2=False)
+        self._one = nec._u64s(R % self.q, self.nl)
+        self._onek = np.zeros(self.k * self.nl, dtype=np.uint64)
+        self._onek[: self.nl] = self._one
+        self._exp_p2 = nec._u64s(
+            self.q - 2, -(-(self.q - 2).bit_length() // 64)
+        )
+        fe = (self.q**self.k - 1) // self.r
+        self._fe = nec._u64s(fe, -(-fe.bit_length() // 64))
+        bits = bin(self.r)[2:]
+        self._rbits = np.frombuffer(
+            bytes(int(b) for b in bits), dtype=np.uint8
+        ).copy()
+        self._fqk, self._flatten = fqk, flatten
+
+    def miller_product(self, pairs) -> np.ndarray:
+        live = [
+            (p, q) for p, q in pairs if p is not None and q is not None
+        ]
+        n = len(live)
+        out = self._onek.copy()
+        if not n:
+            return out
+        d = self.fg2_deg
+        ps = np.zeros((n, 2 * self.nl), dtype=np.uint64)
+        qs = np.zeros((n, 2 * d * self.nl), dtype=np.uint64)
+        for i, (p, q) in enumerate(live):
+            ps[i, : self.nl] = self.g1._elem_to_mont(p[0])
+            ps[i, self.nl :] = self.g1._elem_to_mont(p[1])
+            x, y = q
+            for j in range(d):
+                qs[i, j * self.nl : (j + 1) * self.nl] = (
+                    self.g1._elem_to_mont(x[j])
+                )
+                qs[i, (d + j) * self.nl : (d + j + 1) * self.nl] = (
+                    self.g1._elem_to_mont(y[j])
+                )
+        px = (ctypes.c_int * d)(*self._px)
+        py = (ctypes.c_int * d)(*self._py)
+        self.lib.generic_miller_product(
+            self._ek,
+            self.g1._ctx,
+            nec._ptr(ps),
+            nec._ptr(qs),
+            None,
+            ctypes.c_long(n),
+            nec._u8ptr(self._rbits),
+            ctypes.c_int(len(self._rbits)),
+            ctypes.c_int(d),
+            px,
+            nec._ptr(self._sx),
+            py,
+            nec._ptr(self._sy),
+            nec._ptr(self._exp_p2),
+            ctypes.c_int(len(self._exp_p2)),
+            nec._ptr(self._one),
+            nec._ptr(out),
+        )
+        return out
+
+    def _final_exp(self, f):
+        out = np.zeros_like(f)
+        self.lib.ext_pow(
+            self._ek,
+            nec._ptr(out),
+            nec._ptr(f),
+            nec._ptr(self._fe),
+            ctypes.c_int(len(self._fe)),
+            nec._ptr(self._onek),
+        )
+        return out
+
+    def pairing_product_is_one(self, pairs) -> bool:
+        f = self._final_exp(self.miller_product(pairs))
+        return bool(np.array_equal(f, self._onek))
+
+    def pairing_product(self, pairs) -> tuple:
+        """Result mapped back to the host nested tower representation."""
+        out = self._final_exp(self.miller_product(pairs))
+        rinv = pow(self._R, self.q - 2, self.q)
+        flat = [
+            int.from_bytes(
+                out[i * self.nl : (i + 1) * self.nl].tobytes(), "little"
+            )
+            * rinv
+            % self.q
+            for i in range(self.k)
+        ]
+        d = self.fg2_deg
+        if d == 2:
+            return ((flat[0], flat[2]), (flat[1], flat[3]))
+        return ((flat[0], flat[2], flat[4]), (flat[1], flat[3], flat[5]))
+
+
+@functools.lru_cache(maxsize=None)
+def generic(curve_name: str) -> Optional["NativeGenericPairing"]:
+    if not nec.available():
+        return None
+    return NativeGenericPairing(curve_name)

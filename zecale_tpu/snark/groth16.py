@@ -131,15 +131,19 @@ class Groth16:
         """Pairing check: the native C engine when available for the curve
         (~50x the Python oracle; differentially validated in
         tests/test_native_pairing.py), the host oracle otherwise."""
-        if self.curve_name in ("bw6-761", "bls12-377"):
-            try:
-                from ..native.pairing import bls12, bw6
+        try:
+            from ..native import pairing as _np
 
-                npair = bw6() if self.curve_name == "bw6-761" else bls12()
-            except Exception:
-                npair = None
-            if npair is not None:
-                return npair.pairing_product_is_one(pairs)
+            if self.curve_name == "bw6-761":
+                npair = _np.bw6()
+            elif self.curve_name == "bls12-377":
+                npair = _np.bls12()
+            else:  # MNT4-298 / MNT6-298: generic dense-line engine
+                npair = _np.generic(self.curve_name)
+        except Exception:
+            npair = None
+        if npair is not None:
+            return npair.pairing_product_is_one(pairs)
         return self.ctx.pairing_product_is_one(pairs)
 
     # ------------------------------------------------------------------

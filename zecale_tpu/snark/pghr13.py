@@ -243,6 +243,17 @@ class Pghr13:
             acc = g1.add(acc, g1.mul(x % r, pt))
         _, g2gen = hc.generators(self.curve_name)
         e = self.ctx
+        try:  # native C pairing engine when available (all four curves)
+            from ..native import pairing as _np
+
+            npair = {
+                "bw6-761": _np.bw6,
+                "bls12-377": _np.bls12,
+            }.get(self.curve_name, lambda: _np.generic(self.curve_name))()
+        except Exception:
+            npair = None
+        if npair is not None:
+            e = npair
 
         def check(pairs) -> bool:
             return e.pairing_product_is_one(pairs)
