@@ -198,7 +198,37 @@ AGGREGATOR_CONFIGURATION = {
     4: ("wrapper_pairing_parameters", (MSG, PAIRING_PARAMETERS)),
 }
 
-VERIFICATION_KEY = {1: ("json", "string")}
+# Structured group-element messages (round 3).  The reference imports
+# zeth's snark_messages.proto / ec_group_messages.proto for these; the
+# zeth submodule is absent from the snapshot, so exact zeth field
+# numbering is unverifiable — these carry the same information at the
+# message level (hex coordinate strings; G2 coordinates as 1..3
+# components depending on the twist field).  PGHR13 payloads use the
+# canonical-JSON fallback field.
+G1_POINT = {1: ("x", "string"), 2: ("y", "string")}
+
+G2_POINT = {
+    1: ("x", repeated("string")),
+    2: ("y", repeated("string")),
+}
+
+GROTH16_VERIFICATION_KEY = {
+    1: ("alpha", (MSG, G1_POINT)),
+    2: ("beta", (MSG, G2_POINT)),
+    3: ("delta", (MSG, G2_POINT)),
+    4: ("abc", repeated((MSG, G1_POINT))),
+}
+
+GROTH16_PROOF = {
+    1: ("a", (MSG, G1_POINT)),
+    2: ("b", (MSG, G2_POINT)),
+    3: ("c", (MSG, G1_POINT)),
+}
+
+VERIFICATION_KEY = {
+    1: ("json", "string"),  # PGHR13 / fallback
+    2: ("groth16", (MSG, GROTH16_VERIFICATION_KEY)),
+}
 
 VERIFICATION_KEY_HASH = {1: ("hash", "string")}
 
@@ -207,7 +237,11 @@ APPLICATION_DESCRIPTION = {
     2: ("vk", (MSG, VERIFICATION_KEY)),
 }
 
-EXTENDED_PROOF = {1: ("json", "string")}
+EXTENDED_PROOF = {
+    1: ("json", "string"),  # PGHR13 / fallback
+    2: ("groth16", (MSG, GROTH16_PROOF)),
+    3: ("inputs", repeated("string")),
+}
 
 NESTED_TRANSACTION = {
     1: ("application_name", "string"),
@@ -263,20 +297,85 @@ def config_from_proto(msg: dict) -> dict:
     return out
 
 
+def _g1_to_msg(pt) -> dict:
+    return {"x": pt[0], "y": pt[1]}
+
+
+def _g1_from_msg(m) -> list:
+    return [m["x"], m["y"]]
+
+
+def _g2_to_msg(pt) -> dict:
+    def comps(c):
+        return [c] if isinstance(c, str) else list(c)
+
+    return {"x": comps(pt[0]), "y": comps(pt[1])}
+
+
+def _g2_from_msg(m) -> list:
+    def un(comps):
+        return comps[0] if len(comps) == 1 else list(comps)
+
+    return [un(m["x"]), un(m["y"])]
+
+
 def vk_to_proto(vk_json: dict) -> dict:
+    if {"alpha", "beta", "delta", "ABC"} <= set(vk_json):  # Groth16
+        return {
+            "groth16": {
+                "alpha": _g1_to_msg(vk_json["alpha"]),
+                "beta": _g2_to_msg(vk_json["beta"]),
+                "delta": _g2_to_msg(vk_json["delta"]),
+                "abc": [_g1_to_msg(p) for p in vk_json["ABC"]],
+            }
+        }
     return {"json": _json.dumps(vk_json, sort_keys=True)}
 
 
 def vk_from_proto(msg: dict) -> dict:
+    g = msg.get("groth16")
+    if g:
+        return {
+            "alpha": _g1_from_msg(g["alpha"]),
+            "beta": _g2_from_msg(g["beta"]),
+            "delta": _g2_from_msg(g["delta"]),
+            "ABC": [_g1_from_msg(p) for p in g.get("abc", [])],
+        }
+    return _json.loads(msg["json"])
+
+
+def ext_proof_to_proto(ep_json: dict) -> dict:
+    p = ep_json.get("proof", {})
+    if {"a", "b", "c"} <= set(p):  # Groth16
+        return {
+            "groth16": {
+                "a": _g1_to_msg(p["a"]),
+                "b": _g2_to_msg(p["b"]),
+                "c": _g1_to_msg(p["c"]),
+            },
+            "inputs": list(ep_json.get("inputs", [])),
+        }
+    return {"json": _json.dumps(ep_json, sort_keys=True)}
+
+
+def ext_proof_from_proto(msg: dict) -> dict:
+    g = msg.get("groth16")
+    if g:
+        return {
+            "proof": {
+                "a": _g1_from_msg(g["a"]),
+                "b": _g2_from_msg(g["b"]),
+                "c": _g1_from_msg(g["c"]),
+            },
+            "inputs": list(msg.get("inputs", [])),
+        }
     return _json.loads(msg["json"])
 
 
 def nested_tx_to_proto(tx_json: dict) -> dict:
     return {
         "application_name": tx_json["app_name"],
-        "extended_proof": {
-            "json": _json.dumps(tx_json["extended_proof"], sort_keys=True)
-        },
+        "extended_proof": ext_proof_to_proto(tx_json["extended_proof"]),
         "parameters": bytes.fromhex(tx_json.get("parameters", "")),
         "fee_in_wei": int(tx_json.get("fee_in_wei", 0)),
     }
@@ -285,7 +384,7 @@ def nested_tx_to_proto(tx_json: dict) -> dict:
 def nested_tx_from_proto(msg: dict) -> dict:
     return {
         "app_name": msg["application_name"],
-        "extended_proof": _json.loads(msg["extended_proof"]["json"]),
+        "extended_proof": ext_proof_from_proto(msg["extended_proof"]),
         "parameters": msg["parameters"].hex(),
         "fee_in_wei": msg["fee_in_wei"],
     }
@@ -294,9 +393,7 @@ def nested_tx_from_proto(msg: dict) -> dict:
 def agg_tx_to_proto(agg_json: dict) -> dict:
     return {
         "application_name": agg_json["app_name"],
-        "extended_proof": {
-            "json": _json.dumps(agg_json["ext_proof"], sort_keys=True)
-        },
+        "extended_proof": ext_proof_to_proto(agg_json["ext_proof"]),
         "nested_parameters": [
             bytes.fromhex(p) for p in agg_json["nested_parameters"]
         ],
@@ -306,6 +403,6 @@ def agg_tx_to_proto(agg_json: dict) -> dict:
 def agg_tx_from_proto(msg: dict) -> dict:
     return {
         "app_name": msg["application_name"],
-        "ext_proof": _json.loads(msg["extended_proof"]["json"]),
+        "ext_proof": ext_proof_from_proto(msg["extended_proof"]),
         "nested_parameters": [p.hex() for p in msg["nested_parameters"]],
     }
