@@ -78,15 +78,12 @@ def main():
         keys, aff = prologue(scal8, pts_aff)
         sizes = msm8._round_schedule(keys.shape[0],
                                      (keys.shape[0] // N) * (1 << (C - 1)))
-        ks, pts = msm8._combine_round(
-            crv, keys, crv.from_affine(aff), sizes[0]
+        # points travel in the concatenated-coordinate form (msm8._cat_pt)
+        ks, cat = msm8._combine_round(
+            crv, keys, msm8._from_affine_cat(crv, aff),
+            sizes[0] if sizes else keys.shape[0],
         )
-        return (
-            jnp.sum(ks),
-            jnp.sum(pts["x"], axis=0),
-            jnp.sum(pts["y"], axis=0),
-            jnp.sum(pts["z"], axis=0),
-        )
+        return jnp.sum(ks), jnp.sum(cat, axis=0)
 
     fa = bound_jit([F], prologue_sum)
     fb = bound_jit([F], round1)
