@@ -1,0 +1,771 @@
+"""Round-4 MSM engine: sorted bucket matrix + lazy-Montgomery Pallas reduce.
+
+Replaces the round-2/3 sort-and-compact engine (ec/msm8.py) on the hot
+path.  The round-3 ablation blamed gathers/argsort, but re-measurement
+with proper fencing (scripts/r4_probe.py) shows sort is ~15 ms and row
+gathers are 15-30 ns/row on this chip — the real costs were the per-round
+HBM round-trips (pair flags, compaction, re-gather at full width every
+combining round) and the strict field ops' conditional subtracts.  This
+engine removes both:
+
+  pipeline (ONE jit, no host round-trips):
+    1. signed c-bit digits on device (reused from msm8);
+    2. per-window PACKED sort: key = (bucket-1) << (log2n+1) | sign <<
+       log2n | idx fits int31, so jnp.sort of a single i32 array gives
+       order + source index + sign in one pass (sign indexes a [y; -y]
+       table half — no sign gather, no negation pass at flat width);
+    3. bucket boundaries by searchsorted on the sorted keys (W*(K+1)
+       scalar probes);
+    4. ONE padded gather builds the dense bucket matrix: slot (w, b, s)
+       reads the table row of the s-th point of bucket b (window w), or
+       the all-zero identity row when s >= count.  int8 rows halve HBM
+       footprint 4x vs i32 (BW6-761 streams would not fit otherwise);
+    5. a Pallas kernel streams the matrix with plain grid BlockSpecs and
+       reduces each bucket's capacity axis in VMEM: a fori_loop
+       accumulates fixed-width strips (temporaries reused across
+       iterations — Mosaic's stack allocator does not reuse across
+       distinct shapes), then a short shrinking tree folds the strip
+       accumulator.  All group ops are the LAZY complete RCB law
+       (ff/fp8q.py): no per-op conditional subtracts, fused REDC pairs;
+    6. weighted bucket reduction + Horner window fold in plain jnp
+       lax.scans inside the same jit (small widths; XLA loops, not
+       kernel launches).
+
+  Identity handling: the complete projective law treats (0:1:0) exactly,
+  so padding needs NO masks anywhere past the gather — pad slots hit an
+  all-zero table row, detected as y == 0 (impossible for subgroup points:
+  y = 0 implies 2-torsion) and mapped to the identity leaf.
+
+  Adversarial bucket overflow (count > capacity C): a value-driven
+  lax.while_loop runs extra layers over slots [l*C, (l+1)*C), combining
+  layer partials at full width.  Uniform scalars never trigger it
+  (C = avg + 6*sigma + slack); all-equal scalars degrade gracefully.
+
+Reference analog: libff's multi_exp under wsnark::generate_proof
+(/root/reference/libzecale/circuits/aggregator_circuit.tcc:168); SURVEY.md
+section 2b "libff — multiexp".
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ff import fp8, fp8q, fp8t
+from ..ff import params as P
+from . import msm8
+
+SENT = jnp.int32(0x7FFFFFFF)
+
+
+# ---------------------------------------------------------------------------
+# plan
+# ---------------------------------------------------------------------------
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(0, (n - 1).bit_length())
+
+
+@dataclasses.dataclass(frozen=True)
+class Msm4Plan:
+    curve_name: str
+    g2: bool
+    n2: int          # points padded to a power of two
+    c: int           # window bits
+    W: int           # number of windows
+    K: int           # buckets per window (2^(c-1), balanced digits)
+    C: int           # bucket capacity (layer width)
+    G: int           # (unused; kept for plan stability)
+    B0: int          # slot rows folded per kernel grid step
+    ew: int          # limbs per coordinate (L for Fq, 2L for Fq2)
+    fq2: bool
+    b3_small: int | None  # small b3, or None for the Fq2 twist constant
+    # top-window skew handling: the highest window has only t_bits
+    # significant digit bits, so its few buckets hold ~n/2^t points each
+    # (classic Pippenger skew).  Its buckets are spread over S_sub
+    # sub-lanes of capacity C; sub-lane partials fold back before the
+    # weighted reduction.
+    t_bits: int
+    K_top: int       # buckets the top window can actually hit
+    S_sub: int       # sub-lanes per top bucket
+
+    @property
+    def logn(self) -> int:
+        return self.n2.bit_length() - 1
+
+    @property
+    def shift(self) -> int:
+        return self.logn + 1  # sign bit + index bits
+
+    @property
+    def reg_lanes(self) -> int:
+        return (self.W - 1) * self.K
+
+    @property
+    def top_lanes(self) -> int:
+        return self.K_top * self.S_sub
+
+    @property
+    def lanes(self) -> int:
+        """Total bucket lanes before GL padding."""
+        return self.reg_lanes + self.top_lanes
+
+
+def default_window4(n: int) -> int:
+    """Bucket window for the dense-matrix engine: pad work scales like
+    1 + 6/sqrt(n/2^(c-1)), window count like 1/c — the optimum sits at a
+    few hundred points per bucket."""
+    if n <= 1 << 10:
+        return 6
+    if n <= 1 << 14:
+        return 8
+    if n <= 1 << 16:
+        return 10
+    return 11
+
+
+@functools.lru_cache(maxsize=None)
+def make_plan(curve_name: str, g2: bool, n: int, c: int = 0) -> Msm4Plan:
+    cp = P.CURVES[curve_name]
+    assert cp.a == 0, "msm4 serves the a=0 family (BLS12-377 / BW6-761)"
+    n2 = _next_pow2(max(n, 256))
+    c = c or default_window4(n2)
+    # key packing must fit non-negative int32
+    c = min(c, 30 - (n2.bit_length() - 1))
+    assert c >= 2
+    nbits = cp.r.bit_length()
+    W = msm8.num_windows(nbits, c)
+    K = 1 << (c - 1)
+    fq2 = bool(g2 and cp.g2_degree == 2)
+    L = fp8.field8(cp.q).L
+    ew = 2 * L if fq2 else L
+    # capacity: mean occupancy + 6 sigma + slack, multiple of the strip
+    avg = max(1, n2 // K)
+    B0 = 32 if ew <= 48 else 16
+    C = avg + 6 * int(math.isqrt(avg)) + 8
+    C = -(-C // B0) * B0
+    G = 8
+    # top-window skew: significant digit bits in the highest window
+    t_bits = max(1, nbits + 1 - c * (W - 1))
+    # the balanced-digit carry can push the top digit to exactly 2^t
+    K_top = min(K, (1 << t_bits) + 1)
+    exp_top = max(1, n2 // max(1, 1 << (t_bits - 1)))
+    need = min(n2, exp_top + 6 * int(math.isqrt(exp_top)) + 8)
+    S_sub = max(1, -(-need // C))
+    if fq2:
+        b3_small = None
+    else:
+        b = 4 if (g2 and cp.g2_degree == 1) else cp.b
+        b3_small = {1: 3, cp.q - 1: -3, 4: 12}[b]
+    return Msm4Plan(
+        curve_name=curve_name, g2=g2, n2=n2, c=c, W=W, K=K, C=C, G=G,
+        B0=B0, ew=ew, fq2=fq2, b3_small=b3_small,
+        t_bits=t_bits, K_top=K_top, S_sub=S_sub,
+    )
+
+
+# ---------------------------------------------------------------------------
+# field/context plumbing
+# ---------------------------------------------------------------------------
+
+
+class _Fq2Ctx:
+    """Holds the Fq2 non-residue + twist b3 constants with the
+    consts()/bound() jit-argument protocol (axon const-folding hazard)."""
+
+    def __init__(self, curve_name: str):
+        cp = P.CURVES[curve_name]
+        assert curve_name == "bls12-377"
+        F = fp8.field8(cp.q)
+        L = F.L
+        R = 1 << (8 * L)
+        self.nr_t = jnp.asarray(
+            fp8.to_limbs8(P.BLS12_377_FQ2_QNR * R % cp.q, L).reshape(L, 1)
+        )
+        c1 = (-3 * pow(5, cp.q - 2, cp.q)) % cp.q
+        self.b3_t = jnp.asarray(
+            np.concatenate(
+                [fp8.to_limbs8(0, L), fp8.to_limbs8(c1 * R % cp.q, L)]
+            ).reshape(2 * L, 1)
+        )
+
+    def consts(self):
+        return {"nr_t": self.nr_t, "b3_t": self.b3_t}
+
+    import contextlib as _ctx
+
+    @_ctx.contextmanager
+    def bound(self, c):
+        old = (self.nr_t, self.b3_t)
+        self.nr_t, self.b3_t = c["nr_t"], c["b3_t"]
+        try:
+            yield
+        finally:
+            self.nr_t, self.b3_t = old
+
+
+@functools.lru_cache(maxsize=None)
+def _field_ctx(curve_name: str, fq2: bool):
+    F = fp8.field8(P.CURVES[curve_name].q)
+    if "kp" not in F.tc:
+        F.tc.update(fp8q.make_qconsts(F))
+    ctx = _Fq2Ctx(curve_name) if fq2 else None
+    return F, ctx
+
+
+def _make_ops(plan: Msm4Plan, tc, nr_t=None):
+    if plan.fq2:
+        return fp8q.QOps2(tc, nr_t)
+    return fp8q.QOps(tc)
+
+
+def _b3_of(plan: Msm4Plan, ctx):
+    return plan.b3_small if not plan.fq2 else ctx.b3_t
+
+
+# ---------------------------------------------------------------------------
+# pipeline stages (pure jnp)
+# ---------------------------------------------------------------------------
+
+
+def _build_keys(plan: Msm4Plan, buckets, signs, inf):
+    """(W, n2) packed sort keys; SENT for zero digits / infinity points."""
+    W, n = buckets.shape
+    pad = plan.n2 - n
+    if pad:
+        buckets = jnp.pad(buckets, ((0, 0), (0, pad)))
+        signs = jnp.pad(signs, ((0, 0), (0, pad)))
+        inf = jnp.pad(inf, (0, pad), constant_values=True)
+    idx = jnp.arange(plan.n2, dtype=jnp.int32)[None, :]
+    key = (
+        ((buckets - 1) << plan.shift)
+        | (signs << plan.logn)
+        | idx
+    )
+    invalid = (buckets == 0) | inf[None, :]
+    return jnp.where(invalid, SENT, key).astype(jnp.int32)
+
+
+def _starts_counts(plan: Msm4Plan, skeys):
+    bounds = (
+        jnp.arange(plan.K + 1, dtype=jnp.int32) << plan.shift
+    )
+    starts = jax.vmap(
+        lambda row: jnp.searchsorted(row, bounds, side="left")
+    )(skeys).astype(jnp.int32)
+    counts = starts[:, 1:] - starts[:, :-1]
+    return starts, counts
+
+
+def _padded_src(plan: Msm4Plan, skeys, starts, counts, layer):
+    """(lanes*C,) table-row indices for one capacity layer.
+
+    Regular windows: slot (w, b, s) -> sorted entry starts[w,b] +
+    layer*C + s (identity row 2*n2 when past count).  Top window:
+    bucket b's entries are spread over S_sub sub-lanes of capacity C —
+    slot (b, j, s) reads offset layer*S_sub*C + j*C + s."""
+    W, K, C = plan.W, plan.K, plan.C
+    mask = (1 << plan.shift) - 1
+    idrow = 2 * plan.n2
+
+    s = jnp.arange(C, dtype=jnp.int32)
+    # regular windows
+    off = layer * C + s[None, None, :]
+    pos = starts[: W - 1, :-1, None] + off
+    valid = off < counts[: W - 1, :, None]
+    pos = jnp.clip(pos, 0, plan.n2 - 1)
+    g = jnp.take_along_axis(
+        skeys[: W - 1], pos.reshape(W - 1, K * C), axis=1
+    ).reshape(W - 1, K, C)
+    reg = jnp.where(valid, g & mask, idrow)
+
+    # top window, sub-lane split
+    j = jnp.arange(plan.S_sub, dtype=jnp.int32)
+    off_t = (
+        layer * plan.S_sub * C + j[None, :, None] * C + s[None, None, :]
+    )
+    pos_t = starts[W - 1, : plan.K_top, None, None] + off_t
+    valid_t = off_t < counts[W - 1, : plan.K_top, None, None]
+    pos_t = jnp.clip(pos_t, 0, plan.n2 - 1)
+    g_t = jnp.take_along_axis(
+        skeys[W - 1], pos_t.reshape(-1), axis=0
+    ).reshape(plan.K_top, plan.S_sub, C)
+    top = jnp.where(valid_t, g_t & mask, idrow)
+
+    return jnp.concatenate([reg.reshape(-1), top.reshape(-1)])
+
+
+def _table_int8(plan: Msm4Plan, F, pts_aff):
+    """(2*n2 + 8, 2*ew) int8 table: [x|y rows; x|-y rows; zero rows].
+
+    The y-negation happens ONCE at source width n; the sign bit of the
+    sort key selects the table half.  Row 2*n2 (all zeros) is the
+    identity sentinel (y == 0 never occurs for subgroup points)."""
+    x, y, inf = pts_aff["x"], pts_aff["y"], pts_aff["inf"]
+    n = x.shape[0]
+    if plan.fq2:
+        x = x.reshape(n, plan.ew)
+        y = y.reshape(n, plan.ew)
+    # strict negation on the batch-major source (canonical, cheap at n)
+    yneg = F.neg(y.reshape(-1, F.L)).reshape(y.shape)
+    # zero out infinity rows so they can never alias a valid point
+    keep = ~inf[:, None]
+    rows_pos = jnp.where(keep, jnp.concatenate([x, y], axis=1), 0)
+    rows_neg = jnp.where(keep, jnp.concatenate([x, yneg], axis=1), 0)
+    pad = plan.n2 - n
+    tbl = jnp.concatenate(
+        [
+            rows_pos,
+            jnp.zeros((pad, 2 * plan.ew), jnp.int32),
+            rows_neg,
+            jnp.zeros((pad + 8, 2 * plan.ew), jnp.int32),
+        ],
+        axis=0,
+    )
+    return tbl.astype(jnp.int8)
+
+
+# ---------------------------------------------------------------------------
+# shared reduce math (used by the Pallas kernel body AND the jnp path)
+# ---------------------------------------------------------------------------
+
+
+def _leaves(ops, raw_i32, plan: Msm4Plan):
+    """(2ew, ...) widened rows -> projective leaf point dict."""
+    ew = plan.ew
+    x = raw_i32[:ew]
+    y = raw_i32[ew:]
+    is_id = jnp.all(y == 0, axis=0)
+    one = ops.one_like(y)
+    zero = jnp.zeros_like(y)
+    return {
+        "x": ops.select(is_id, zero, x),
+        "y": ops.select(is_id, one, y),
+        "z": ops.select(is_id, zero, one),
+    }
+
+
+def _widen(raw_int8):
+    return raw_int8.astype(jnp.int32) & 0xFF
+
+
+# ---------------------------------------------------------------------------
+# the bucket-reduce Pallas kernel
+#
+# Layout: LANES ARE BUCKETS.  The matrix arrives as (C, 2ew, KW): slot
+# rows on the untiled major axis (freely indexable inside the kernel),
+# coordinate limbs on sublanes, buckets on lanes.  Each accumulation step
+# is ONE lazy complete add of width GL=256 bucket-lanes; a 2-D grid
+# (bucket blocks x slot strips) streams the matrix while a VMEM scratch
+# accumulator persists across the strip dimension.  No tree, no
+# compaction, no lane waste, and every loop body has a fixed shape so
+# Mosaic's stack allocator reuses one add's worth of temporaries.
+# ---------------------------------------------------------------------------
+
+GL = 256  # bucket lanes per block
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _tc_inputs(F, ctx):
+    """Ordered (names, arrays) of field constants fed to the kernel."""
+    keys = sorted(F._tc_array_keys(F.tc))
+    arrs = [F.tc[k] for k in keys]
+    if ctx is not None:
+        keys += ["nr_t", "b3_t"]
+        arrs += [ctx.nr_t, ctx.b3_t]
+    return keys, arrs
+
+
+def bucket_reduce_pallas(plan: Msm4Plan, F, ctx, mat_int8):
+    """(C, 2ew, KWp) int8 bucket matrix -> (KWp, 3ew) i32 lazy partials
+    (KWp = bucket count padded to a multiple of GL)."""
+    KW = mat_int8.shape[-1]
+    C, ew = plan.C, plan.ew
+    B0 = plan.B0
+    n_strips = C // B0
+    names, consts = _tc_inputs(F, ctx)
+    static_tc = {
+        k: v for k, v in F.tc.items() if isinstance(v, (int, bool))
+    }
+
+    def kernel(*refs):
+        mat_ref = refs[0]
+        const_refs = refs[1 : 1 + len(names)]
+        out_ref = refs[-2]  # output block (GL, 3ew)
+        acc_ref = refs[-1]  # scratch (3ew, GL) i32, persists over j
+        j = pl.program_id(1)
+        tc = dict(static_tc)
+        cvals = {}
+        for nm, ref in zip(names, const_refs):
+            cvals[nm] = ref[:]
+        for nm in names:
+            if nm not in ("nr_t", "b3_t"):
+                tc[nm] = cvals[nm]
+        ops = _make_ops(plan, tc, cvals.get("nr_t"))
+        b3 = plan.b3_small if not plan.fq2 else cvals["b3_t"]
+
+        @pl.when(j == 0)
+        def _():
+            one = jnp.broadcast_to(
+                ops.one_like(jnp.zeros((ew, GL), jnp.int32)), (ew, GL)
+            )
+            acc_ref[:] = jnp.concatenate(
+                [jnp.zeros((ew, GL), jnp.int32), one,
+                 jnp.zeros((ew, GL), jnp.int32)],
+                axis=0,
+            )
+
+        def body(s, acc):
+            leaf = _leaves(
+                ops, _widen(mat_ref[pl.ds(s, 1), :, :][0]), plan
+            )
+            return fp8q.proj_add_q(ops, acc, leaf, b3)
+
+        acc0 = {
+            "x": acc_ref[:ew],
+            "y": acc_ref[ew : 2 * ew],
+            "z": acc_ref[2 * ew :],
+        }
+        acc = jax.lax.fori_loop(0, B0, body, acc0)
+        acc_ref[:] = jnp.concatenate(
+            [acc["x"], acc["y"], acc["z"]], axis=0
+        )
+
+        @pl.when(j == n_strips - 1)
+        def _():
+            out_ref[:] = acc_ref[:].T
+
+    cspecs = [
+        pl.BlockSpec(c.shape, lambda i, j, nd=c.ndim: (0,) * nd,
+                     memory_space=pltpu.VMEM)
+        for c in consts
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=(KW // GL, n_strips),
+        in_specs=[
+            pl.BlockSpec((B0, 2 * ew, GL), lambda i, j: (j, 0, i),
+                         memory_space=pltpu.VMEM),
+        ]
+        + cspecs,
+        out_specs=pl.BlockSpec((GL, 3 * ew), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((KW, 3 * ew), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((3 * ew, GL), jnp.int32)],
+        interpret=_interpret(),
+    )(mat_int8, *consts)
+
+
+def bucket_reduce_jnp(plan: Msm4Plan, F, ctx, mat_int8):
+    """Reference path: identical math to the kernel — a lax.scan over the
+    slot rows accumulating at full bucket width (tests / CPU)."""
+    ops = _make_ops(plan, F.tc, ctx.nr_t if ctx else None)
+    b3 = _b3_of(plan, ctx)
+    KW = mat_int8.shape[-1]
+    ew = plan.ew
+
+    def body(acc, row):
+        leaf = _leaves(ops, _widen(row), plan)
+        return fp8q.proj_add_q(ops, acc, leaf, b3), None
+
+    one = jnp.broadcast_to(
+        ops.one_like(jnp.zeros((ew, KW), jnp.int32)), (ew, KW)
+    )
+    acc0 = {
+        "x": jnp.zeros((ew, KW), jnp.int32),
+        "y": one,
+        "z": jnp.zeros((ew, KW), jnp.int32),
+    }
+    acc, _ = jax.lax.scan(body, acc0, mat_int8)
+    return jnp.concatenate(
+        [acc["x"], acc["y"], acc["z"]], axis=0
+    ).T
+
+
+# ---------------------------------------------------------------------------
+# epilogue: weighted bucket reduction + Horner (plain jnp, one jit)
+# ---------------------------------------------------------------------------
+
+
+def _split3(cat, ew):
+    return {
+        "x": cat[:ew],
+        "y": cat[ew : 2 * ew],
+        "z": cat[2 * ew :],
+    }
+
+
+def _identity_like(ops, ref):
+    one = ops.one_like(ref)
+    zero = jnp.zeros_like(ref)
+    return {"x": zero, "y": one, "z": zero}
+
+
+def _stack_add(ops, parts_a, parts_b, b3):
+    """One lazy add over a list of equally-shaped point dicts, stacked on
+    a new leading batch axis folded into the last axis."""
+    cat = lambda ps: {
+        k: jnp.concatenate([p[k] for p in ps], axis=-1) for k in ps[0]
+    }
+    w = parts_a[0]["x"].shape[-1]
+    out = fp8q.proj_add_q(ops, cat(parts_a), cat(parts_b), b3)
+    return [
+        {k: v[..., i * w : (i + 1) * w] for k, v in out.items()}
+        for i in range(len(parts_a))
+    ]
+
+
+def weighted_horner(plan: Msm4Plan, F, ctx, partials_cat):
+    """(W*K, 3ew) lazy bucket partials -> final Jacobian point.
+
+    sum_b b*B_b per window via two high-to-low suffix scans (chunked
+    b = hi*GA + g + 1), then the Horner window fold as a masked-parallel
+    doubling ladder (all windows advance together; lane w stops after
+    c*w doublings) + a log tree over windows."""
+    ops = _make_ops(plan, F.tc, ctx.nr_t if ctx else None)
+    b3 = _b3_of(plan, ctx)
+    W, K, ew, c = plan.W, plan.K, plan.ew, plan.c
+
+    # (W*K, 3ew) -> (3ew, K, W); source order is w-major
+    t = partials_cat.reshape(W, K, 3 * ew).transpose(2, 1, 0)
+    pts = _split3(t, ew)  # arrays (ew, K, W)
+
+    GA = min(64, K)
+    M = K // GA
+    chunks = {
+        k: v.reshape(ew, M, GA, W) for k, v in pts.items()
+    }
+    # scan 1 over hi (high -> low): wacc += run; run += B[hi]
+    def body1(carry, b_hi):
+        run, wacc = carry
+        wacc, run = _stack_add(ops, [wacc, run], [run, b_hi], b3)
+        return (run, wacc), None
+
+    zero = _identity_like(ops, pts["y"][:, :GA, :])
+    rev = {
+        k: jnp.flip(v, axis=1).transpose(1, 0, 2, 3)
+        for k, v in chunks.items()
+    }  # (M, ew, GA, W)
+    (col, wacc), _ = jax.lax.scan(body1, (zero, zero), rev)
+
+    # scan 2 over g (high -> low): acc2 += run2; run2 += C_g; wtot += W1_g
+    def body2(carry, xs):
+        run2, acc2, wtot = carry
+        c_g, w1_g = xs
+        acc2, run2, wtot = _stack_add(
+            ops, [acc2, run2, wtot], [run2, c_g, w1_g], b3
+        )
+        return (run2, acc2, wtot), None
+
+    zw = _identity_like(ops, pts["y"][:, :1, :])
+    rev_g = (
+        {k: jnp.flip(v, axis=1).transpose(1, 0, 2)[:, :, None, :]
+         for k, v in col.items()},
+        {k: jnp.flip(v, axis=1).transpose(1, 0, 2)[:, :, None, :]
+         for k, v in wacc.items()},
+    )
+    (run2, acc2, wtot), _ = jax.lax.scan(body2, (zw, zw, zw), rev_g)
+
+    # total_w = acc2 + run2 + GA * wtot
+    ga_bits = GA.bit_length() - 1
+    for _ in range(ga_bits):
+        wtot = fp8q.proj_dbl_q(ops, wtot, b3)
+    part, = _stack_add(ops, [acc2], [run2], b3)
+    part, = _stack_add(ops, [part], [wtot], b3)
+    # part: (ew, 1, W) -> (ew, W)
+    part = {k: v[:, 0, :] for k, v in part.items()}
+
+    # masked-parallel Horner: window w needs c*w doublings
+    wids = jnp.arange(W, dtype=jnp.int32)
+    total_steps = c * (W - 1)
+
+    def horner_body(t_step, pt):
+        d = fp8q.proj_dbl_q(ops, pt, b3)
+        keep_dbl = t_step < c * wids  # (W,) lanes
+        return {
+            k: ops.select(keep_dbl, d[k], pt[k]) for k in pt
+        }
+
+    part = jax.lax.fori_loop(0, total_steps, horner_body, part)
+
+    # tree over windows
+    cc = W
+    acc = part
+    while cc > 1:
+        h = cc // 2
+        p1 = {k: v[..., :h] for k, v in acc.items()}
+        p2 = {k: v[..., h : 2 * h] for k, v in acc.items()}
+        s = fp8q.proj_add_q(ops, p1, p2, b3)
+        if cc % 2:
+            tail = {k: v[..., 2 * h : cc] for k, v in acc.items()}
+            s = {k: jnp.concatenate([v, tail[k]], axis=-1)
+                 for k, v in s.items()}
+            cc = h + 1
+        else:
+            cc = h
+        acc = s
+
+    # canonicalize + projective -> Jacobian (X*Z, Y*Z^2, Z)
+    x = ops.canon(acc["x"][..., :1], 4)
+    y = ops.canon(acc["y"][..., :1], 4)
+    z = ops.canon(acc["z"][..., :1], 4)
+    tcq = F.tc
+    if plan.fq2:
+        ops2 = ops
+        xz = ops2.canon(ops2.mul(x, z), 2)
+        z2 = ops2.mul(z, z)
+        yz2 = ops2.canon(ops2.mul(y, z2), 2)
+        L = F.L
+        resh = lambda v: v.reshape(2, L)
+        return {"x": resh(xz), "y": resh(yz2), "z": resh(z)}
+    xz = fp8t.cond_sub_p_t(fp8q.mont_mul_q(x, z, tcq), tcq)
+    z2 = fp8q.mont_mul_q(z, z, tcq)
+    yz2 = fp8t.cond_sub_p_t(fp8q.mont_mul_q(y, z2, tcq), tcq)
+    return {"x": xz[:, 0], "y": yz2[:, 0], "z": z[:, 0]}
+
+
+# ---------------------------------------------------------------------------
+# entry points
+# ---------------------------------------------------------------------------
+
+
+def _msm4_run(plan: Msm4Plan, F, ctx, scal8, pts_aff, use_pallas: bool):
+    nbits = P.CURVES[plan.curve_name].r.bit_length()
+    buckets, signs = msm8.signed_digits_from_limbs8(
+        scal8, nbits, plan.c
+    )
+    keys = _build_keys(plan, buckets, signs, pts_aff["inf"])
+    skeys = jnp.sort(keys, axis=1)
+    starts, counts = _starts_counts(plan, skeys)
+    table = _table_int8(plan, F, pts_aff)
+    reduce_fn = bucket_reduce_pallas if use_pallas else bucket_reduce_jnp
+
+    lanes = plan.lanes
+    lanes_pad = -(-lanes // GL) * GL
+    ops = _make_ops(plan, F.tc, ctx.nr_t if ctx else None)
+    b3 = _b3_of(plan, ctx)
+
+    def layer_partials(layer):
+        src = _padded_src(plan, skeys, starts, counts, layer)
+        mat = (
+            table[src]
+            .reshape(lanes, plan.C, 2 * plan.ew)
+            .transpose(1, 2, 0)
+        )
+        if lanes_pad != lanes:
+            # pad lanes with identity (all-zero) columns
+            mat = jnp.pad(mat, ((0, 0), (0, 0), (0, lanes_pad - lanes)))
+        return reduce_fn(plan, F, ctx, mat)[:lanes]
+
+    partials = layer_partials(jnp.int32(0))
+    max_reg = jnp.max(counts[: plan.W - 1])
+    max_top = jnp.max(counts[plan.W - 1, : plan.K_top])
+
+    def cond(state):
+        layer, _ = state
+        return (layer * plan.C < max_reg) | (
+            layer * plan.S_sub * plan.C < max_top
+        )
+
+    def body(state):
+        layer, acc = state
+        extra = layer_partials(layer)
+        a = _split3(acc.T, plan.ew)
+        b = _split3(extra.T, plan.ew)
+        comb = fp8q.proj_add_q(ops, a, b, b3)
+        cat = jnp.concatenate(
+            [comb["x"], comb["y"], comb["z"]], axis=0
+        ).T
+        return layer + 1, cat
+
+    _, partials = jax.lax.while_loop(
+        cond, body, (jnp.int32(1), partials)
+    )
+
+    # fold the top window's sub-lanes back to one partial per bucket,
+    # then assemble the uniform (W*K, 3ew) bucket array the weighted
+    # reduction expects (top window last, unused buckets = identity)
+    reg = partials[: plan.reg_lanes]
+    top = (
+        partials[plan.reg_lanes :]
+        .reshape(plan.K_top, plan.S_sub, 3 * plan.ew)
+        .transpose(2, 0, 1)
+    )
+    tpt = _split3(top, plan.ew)
+    cc = plan.S_sub
+    while cc > 1:
+        h = cc // 2
+        p1 = {k: v[..., :h] for k, v in tpt.items()}
+        p2 = {k: v[..., h : 2 * h] for k, v in tpt.items()}
+        sm = fp8q.proj_add_q(ops, p1, p2, b3)
+        if cc % 2:
+            tail = {k: v[..., 2 * h : cc] for k, v in tpt.items()}
+            sm = {k: jnp.concatenate([v, tail[k]], axis=-1)
+                  for k, v in sm.items()}
+            cc = h + 1
+        else:
+            cc = h
+        tpt = sm
+    top_rows = jnp.concatenate(
+        [tpt["x"][..., 0], tpt["y"][..., 0], tpt["z"][..., 0]], axis=0
+    ).T  # (K_top, 3ew)
+    ew = plan.ew
+    one_m = F.tc["one_mont"].reshape(-1)
+    if plan.fq2:
+        one_coord = jnp.concatenate(
+            [one_m, jnp.zeros_like(one_m)]
+        )
+    else:
+        one_coord = one_m
+    id_row = jnp.concatenate(
+        [jnp.zeros((ew,), jnp.int32), one_coord,
+         jnp.zeros((ew,), jnp.int32)]
+    )
+    fill = jnp.broadcast_to(id_row, (plan.K - plan.K_top, 3 * ew))
+    top_full = jnp.concatenate([top_rows, fill], axis=0)
+    partials_full = jnp.concatenate([reg, top_full], axis=0)
+    return weighted_horner(plan, F, ctx, partials_full)
+
+
+@functools.lru_cache(maxsize=None)
+def msm4_jit(curve_name: str, g2: bool, n: int, c: int = 0,
+             use_pallas: bool | None = None):
+    """(scal8 std-form (n, Lr) 8-bit limbs, pts_aff) -> Jacobian point.
+
+    Same call surface as msm8.msm8_jit but the point count is a static
+    plan parameter (capacity/padding shapes depend on it)."""
+    from ..utils.jit_utils import bound_jit
+
+    plan = make_plan(curve_name, g2, n, c)
+    F, ctx = _field_ctx(curve_name, plan.fq2)
+    if use_pallas is None:
+        use_pallas = True
+    binders = [F] + ([ctx] if ctx else [])
+
+    def run(scal8, pts_aff):
+        return _msm4_run(plan, F, ctx, scal8, pts_aff, use_pallas)
+
+    return bound_jit(binders, run)
+
+
+def msm4(curve_name: str, scalars, points, g2: bool = False, c: int = 0,
+         use_pallas: bool | None = None):
+    """Host-convenience MSM (scalars/points in, affine host point out)."""
+    r = P.CURVES[curve_name].r
+    n = len(points)
+    Fr = fp8.field8(r)
+    scal8 = Fr.pack([s % r for s in scalars], mont=False)
+    pts = msm8.pack_points_affine8(curve_name, points, g2=g2)
+    acc = msm4_jit(curve_name, g2, n, c, use_pallas)(scal8, pts)
+    return msm8.unpack_jac_point8(curve_name, acc, g2=g2)

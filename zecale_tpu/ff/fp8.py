@@ -247,19 +247,20 @@ class Fp8TPU:
             self._tc = fp8t.make_tconsts(self)
         return self._tc
 
+    @staticmethod
+    def _tc_array_keys(tc):
+        """Array-valued tc entries (static ints/bools stay baked)."""
+        return [k for k, v in tc.items() if not isinstance(v, (int, bool))]
+
     def consts(self):
         out = {a: getattr(self, a) for a in self._CONST_ATTRS}
-        from . import fp8t
-
-        out["tc"] = {k: self.tc[k] for k in fp8t.TC_ARRAYS}
+        out["tc"] = {k: self.tc[k] for k in self._tc_array_keys(self.tc)}
         return out
 
     @contextlib.contextmanager
     def bound(self, c):
-        from . import fp8t
-
         old = {a: getattr(self, a) for a in self._CONST_ATTRS}
-        old_tc = {k: self.tc[k] for k in fp8t.TC_ARRAYS}
+        old_tc = {k: self.tc[k] for k in self._tc_array_keys(self.tc)}
         for a in self._CONST_ATTRS:
             setattr(self, a, c[a])
         if "tc" in c:

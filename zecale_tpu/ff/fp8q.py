@@ -129,19 +129,20 @@ def redc_q(T, tc):
     < 128*p^2).  Output: canonical limbs, value < 2p (k=2 when the conv
     k-product sum is <= 128).  NO trailing conditional subtract."""
     L = tc["L"]
+    trail = T.shape[1:]
     Tc, _ = carry_exact_t(T, 2)
     Tc = Tc[: 2 * L]
     m_acc = jnp.matmul(
         tc["toep_np_t"],
-        Tc[:L].astype(jnp.bfloat16),
+        Tc[:L].reshape(L, -1).astype(jnp.bfloat16),
         preferred_element_type=jnp.float32,
-    ).astype(jnp.int32)
+    ).astype(jnp.int32).reshape(L, *trail)
     m, _ = carry_exact_t(m_acc, 2)
     mp = jnp.matmul(
         tc["toep_p_t"],
-        m[:L].astype(jnp.bfloat16),
+        m[:L].reshape(L, -1).astype(jnp.bfloat16),
         preferred_element_type=jnp.float32,
-    ).astype(jnp.int32)
+    ).astype(jnp.int32).reshape(2 * L, *trail)
     Sc, _ = carry_exact_t(Tc + mp, 2)
     return Sc[L : 2 * L]
 
