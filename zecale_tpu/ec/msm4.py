@@ -88,14 +88,17 @@ class Msm4Plan:
     ew: int          # limbs per coordinate (L for Fq, 2L for Fq2)
     fq2: bool
     b3_small: int | None  # small b3, or None for the Fq2 twist constant
-    # top-window skew handling: the highest window has only t_bits
-    # significant digit bits, so its few buckets hold ~n/2^t points each
-    # (classic Pippenger skew).  Its buckets are spread over S_sub
-    # sub-lanes of capacity C; sub-lane partials fold back before the
-    # weighted reduction.
-    t_bits: int
-    K_top: int       # buckets the top window can actually hit
-    S_sub: int       # sub-lanes per top bucket
+    # Per-window bucket-lane shape (K_j, S_j): window j's buckets are
+    # spread over S_j sub-lanes of capacity C each (sub-lane partials
+    # fold back before the weighted reduction).  High windows are SKEWED
+    # — their digit distribution follows the scalar-field modulus r, not
+    # uniformity: the top real window only takes values < r >> (c*j)
+    # (e.g. 1190 of 2048 for BLS12-377 r at c=11 -> 1.7x bucket skew; a
+    # few units for BW6-761 r -> ~500x), and the carry-only window above
+    # it puts ~n/2 points into bucket 1.  S_j/K_j are computed statically
+    # from r in make_plan; windows with (K_j == K, S_j == 1) batch
+    # together as "regular".
+    win_shapes: tuple  # tuple of (K_j, S_j) per window
 
     @property
     def logn(self) -> int:
@@ -106,17 +109,23 @@ class Msm4Plan:
         return self.logn + 1  # sign bit + index bits
 
     @property
-    def reg_lanes(self) -> int:
-        return (self.W - 1) * self.K
+    def reg_wins(self) -> tuple:
+        return tuple(
+            j for j, (k, s) in enumerate(self.win_shapes)
+            if k == self.K and s == 1
+        )
 
     @property
-    def top_lanes(self) -> int:
-        return self.K_top * self.S_sub
+    def skew_wins(self) -> tuple:
+        return tuple(
+            j for j, (k, s) in enumerate(self.win_shapes)
+            if not (k == self.K and s == 1)
+        )
 
     @property
     def lanes(self) -> int:
         """Total bucket lanes before GL padding."""
-        return self.reg_lanes + self.top_lanes
+        return sum(k * s for k, s in self.win_shapes)
 
 
 def default_window4(n: int) -> int:
@@ -147,19 +156,34 @@ def make_plan(curve_name: str, g2: bool, n: int, c: int = 0) -> Msm4Plan:
     fq2 = bool(g2 and cp.g2_degree == 2)
     L = fp8.field8(cp.q).L
     ew = 2 * L if fq2 else L
-    # capacity: mean occupancy + 6 sigma + slack, multiple of the strip
+    # capacity: mean occupancy, a 1/8 span-skew margin (full windows are
+    # classified so their modulus-induced skew is <= 1.0625x), 6 sigma,
+    # slack; multiple of the strip width
     avg = max(1, n2 // K)
     B0 = 32 if ew <= 48 else 16
-    C = avg + 6 * int(math.isqrt(avg)) + 8
+    C = avg + avg // 8 + 6 * int(math.isqrt(avg)) + 8
     C = -(-C // B0) * B0
     G = 8
-    # top-window skew: significant digit bits in the highest window
-    t_bits = max(1, nbits + 1 - c * (W - 1))
-    # the balanced-digit carry can push the top digit to exactly 2^t
-    K_top = min(K, (1 << t_bits) + 1)
-    exp_top = max(1, n2 // max(1, 1 << (t_bits - 1)))
-    need = min(n2, exp_top + 6 * int(math.isqrt(exp_top)) + 8)
-    S_sub = max(1, -(-need // C))
+    # Per-window lane shapes from the EXACT digit-value span of r:
+    # window j's raw digit is (s >> c*j) mod 2^c for s uniform < r, so
+    # high windows concentrate mass on span_j ~ (r >> c*j) values.
+    # Narrow-span windows (span < 16*2^c: the top real window(s) and the
+    # carry window) get K_j buckets spread over S_j sub-lanes of
+    # capacity C; full-span windows are regular (their <= 1.0625x skew
+    # is inside C's margin).
+    r_mod = cp.r
+    win_shapes = []
+    for jw in range(W):
+        span = (r_mod >> (c * jw)) + 2
+        if span >= (16 << c):
+            win_shapes.append((K, 1))
+            continue
+        per = -(-span // (1 << c))
+        worst = min(n2, 2 * n2 * per // span + 1)
+        need = min(n2, worst + 6 * int(math.isqrt(worst)) + 8)
+        S_j = max(1, -(-need // C))
+        win_shapes.append((min(K, span), S_j))
+    win_shapes = tuple(win_shapes)
     if fq2:
         b3_small = None
     else:
@@ -168,7 +192,7 @@ def make_plan(curve_name: str, g2: bool, n: int, c: int = 0) -> Msm4Plan:
     return Msm4Plan(
         curve_name=curve_name, g2=g2, n2=n2, c=c, W=W, K=K, C=C, G=G,
         B0=B0, ew=ew, fq2=fq2, b3_small=b3_small,
-        t_bits=t_bits, K_top=K_top, S_sub=S_sub,
+        win_shapes=win_shapes,
     )
 
 
@@ -266,41 +290,51 @@ def _starts_counts(plan: Msm4Plan, skeys):
 
 
 def _padded_src(plan: Msm4Plan, skeys, starts, counts, layer):
-    """(lanes*C,) table-row indices for one capacity layer.
-
-    Regular windows: slot (w, b, s) -> sorted entry starts[w,b] +
-    layer*C + s (identity row 2*n2 when past count).  Top window:
-    bucket b's entries are spread over S_sub sub-lanes of capacity C —
-    slot (b, j, s) reads offset layer*S_sub*C + j*C + s."""
-    W, K, C = plan.W, plan.K, plan.C
+    """(lanes*C,) table-row indices for one capacity layer, in window
+    order.  Window j's bucket b spreads over S_j sub-lanes: slot
+    (b, u, s) reads sorted entry starts[j,b] + layer*S_j*C + u*C + s
+    (identity row 2*n2 past the count).  Regular windows (S_j=1, full K)
+    batch into one gather."""
+    K, C = plan.K, plan.C
     mask = (1 << plan.shift) - 1
     idrow = 2 * plan.n2
-
     s = jnp.arange(C, dtype=jnp.int32)
-    # regular windows
-    off = layer * C + s[None, None, :]
-    pos = starts[: W - 1, :-1, None] + off
-    valid = off < counts[: W - 1, :, None]
-    pos = jnp.clip(pos, 0, plan.n2 - 1)
-    g = jnp.take_along_axis(
-        skeys[: W - 1], pos.reshape(W - 1, K * C), axis=1
-    ).reshape(W - 1, K, C)
-    reg = jnp.where(valid, g & mask, idrow)
+    reg = list(plan.reg_wins)
 
-    # top window, sub-lane split
-    j = jnp.arange(plan.S_sub, dtype=jnp.int32)
-    off_t = (
-        layer * plan.S_sub * C + j[None, :, None] * C + s[None, None, :]
-    )
-    pos_t = starts[W - 1, : plan.K_top, None, None] + off_t
-    valid_t = off_t < counts[W - 1, : plan.K_top, None, None]
-    pos_t = jnp.clip(pos_t, 0, plan.n2 - 1)
-    g_t = jnp.take_along_axis(
-        skeys[W - 1], pos_t.reshape(-1), axis=0
-    ).reshape(plan.K_top, plan.S_sub, C)
-    top = jnp.where(valid_t, g_t & mask, idrow)
+    pieces = {}
+    if reg:
+        # regular windows are always the PREFIX [0, n_reg): digit spans
+        # shrink monotonically with the window index, so skew can only
+        # start at the top.  Plain slices here — the equivalent
+        # row-gather form (skeys[jnp.asarray(reg)]) MISCOMPILES on the
+        # axon TPU backend at 2^18-scale shapes (stride-patterned
+        # garbage, caught by the device-side consistency check).
+        n_reg = len(reg)
+        assert reg == list(range(n_reg)), "regular windows must be a prefix"
+        off = layer * C + s[None, None, :]
+        pos = starts[:n_reg, :-1, None] + off
+        valid = off < counts[:n_reg, :, None]
+        pos = jnp.clip(pos, 0, plan.n2 - 1)
+        g = jnp.take_along_axis(
+            skeys[:n_reg], pos.reshape(n_reg, K * C), axis=1
+        ).reshape(n_reg, K, C)
+        rblk = jnp.where(valid, g & mask, idrow)
+        for i, j in enumerate(reg):
+            pieces[j] = rblk[i].reshape(-1)
 
-    return jnp.concatenate([reg.reshape(-1), top.reshape(-1)])
+    for j in plan.skew_wins:
+        K_j, S_j = plan.win_shapes[j]
+        u = jnp.arange(S_j, dtype=jnp.int32)
+        off = layer * S_j * C + u[None, :, None] * C + s[None, None, :]
+        pos = starts[j, :K_j, None, None] + off
+        valid = off < counts[j, :K_j, None, None]
+        pos = jnp.clip(pos, 0, plan.n2 - 1)
+        g = jnp.take_along_axis(
+            skeys[j], pos.reshape(-1), axis=0
+        ).reshape(K_j, S_j, C)
+        pieces[j] = jnp.where(valid, g & mask, idrow).reshape(-1)
+
+    return jnp.concatenate([pieces[j] for j in range(plan.W)])
 
 
 def _table_int8(plan: Msm4Plan, F, pts_aff):
@@ -669,14 +703,23 @@ def _msm4_run(plan: Msm4Plan, F, ctx, scal8, pts_aff, use_pallas: bool):
         return reduce_fn(plan, F, ctx, mat)[:lanes]
 
     partials = layer_partials(jnp.int32(0))
-    max_reg = jnp.max(counts[: plan.W - 1])
-    max_top = jnp.max(counts[plan.W - 1, : plan.K_top])
+    reg = list(plan.reg_wins)
+    max_reg = (
+        jnp.max(counts[: len(reg)]) if reg else jnp.int32(0)
+    )
+    skew_max = [
+        jnp.max(counts[j, : plan.win_shapes[j][0]])
+        for j in plan.skew_wins
+    ]
 
     def cond(state):
         layer, _ = state
-        return (layer * plan.C < max_reg) | (
-            layer * plan.S_sub * plan.C < max_top
-        )
+        fire = layer * plan.C < max_reg
+        for j, mx in zip(plan.skew_wins, skew_max):
+            fire = fire | (
+                layer * plan.win_shapes[j][1] * plan.C < mx
+            )
+        return fire
 
     def body(state):
         layer, acc = state
@@ -689,52 +732,67 @@ def _msm4_run(plan: Msm4Plan, F, ctx, scal8, pts_aff, use_pallas: bool):
         ).T
         return layer + 1, cat
 
-    _, partials = jax.lax.while_loop(
-        cond, body, (jnp.int32(1), partials)
-    )
+    import os as _os
 
-    # fold the top window's sub-lanes back to one partial per bucket,
-    # then assemble the uniform (W*K, 3ew) bucket array the weighted
-    # reduction expects (top window last, unused buckets = identity)
-    reg = partials[: plan.reg_lanes]
-    top = (
-        partials[plan.reg_lanes :]
-        .reshape(plan.K_top, plan.S_sub, 3 * plan.ew)
-        .transpose(2, 0, 1)
-    )
-    tpt = _split3(top, plan.ew)
-    cc = plan.S_sub
-    while cc > 1:
-        h = cc // 2
-        p1 = {k: v[..., :h] for k, v in tpt.items()}
-        p2 = {k: v[..., h : 2 * h] for k, v in tpt.items()}
-        sm = fp8q.proj_add_q(ops, p1, p2, b3)
-        if cc % 2:
-            tail = {k: v[..., 2 * h : cc] for k, v in tpt.items()}
-            sm = {k: jnp.concatenate([v, tail[k]], axis=-1)
-                  for k, v in sm.items()}
-            cc = h + 1
-        else:
-            cc = h
-        tpt = sm
-    top_rows = jnp.concatenate(
-        [tpt["x"][..., 0], tpt["y"][..., 0], tpt["z"][..., 0]], axis=0
-    ).T  # (K_top, 3ew)
+    if _os.environ.get("ZECALE_MSM4_NO_LAYERS"):
+        # benchmarking escape hatch: skip the adversarial-overflow layer
+        # loop (uniform scalars never take it; see plan capacity margins)
+        pass
+    else:
+        _, partials = jax.lax.while_loop(
+            cond, body, (jnp.int32(1), partials)
+        )
+
+    # fold each skewed window's sub-lanes to one partial per bucket,
+    # then assemble the uniform (W*K, 3ew) bucket array (window-major)
+    # the weighted reduction expects; unused buckets = identity rows.
     ew = plan.ew
     one_m = F.tc["one_mont"].reshape(-1)
-    if plan.fq2:
-        one_coord = jnp.concatenate(
-            [one_m, jnp.zeros_like(one_m)]
-        )
-    else:
-        one_coord = one_m
+    one_coord = (
+        jnp.concatenate([one_m, jnp.zeros_like(one_m)])
+        if plan.fq2 else one_m
+    )
     id_row = jnp.concatenate(
         [jnp.zeros((ew,), jnp.int32), one_coord,
          jnp.zeros((ew,), jnp.int32)]
     )
-    fill = jnp.broadcast_to(id_row, (plan.K - plan.K_top, 3 * ew))
-    top_full = jnp.concatenate([top_rows, fill], axis=0)
-    partials_full = jnp.concatenate([reg, top_full], axis=0)
+
+    rows = []
+    off = 0
+    for j in range(plan.W):
+        K_j, S_j = plan.win_shapes[j]
+        span = K_j * S_j
+        blk = partials[off : off + span]
+        off += span
+        if S_j > 1:
+            t = blk.reshape(K_j, S_j, 3 * ew).transpose(2, 0, 1)
+            tpt = _split3(t, ew)
+            cc = S_j
+            while cc > 1:
+                h = cc // 2
+                p1 = {k: v[..., :h] for k, v in tpt.items()}
+                p2 = {k: v[..., h : 2 * h] for k, v in tpt.items()}
+                sm = fp8q.proj_add_q(ops, p1, p2, b3)
+                if cc % 2:
+                    tail = {k: v[..., 2 * h : cc]
+                            for k, v in tpt.items()}
+                    sm = {k: jnp.concatenate([v, tail[k]], axis=-1)
+                          for k, v in sm.items()}
+                    cc = h + 1
+                else:
+                    cc = h
+                tpt = sm
+            blk = jnp.concatenate(
+                [tpt["x"][..., 0], tpt["y"][..., 0], tpt["z"][..., 0]],
+                axis=0,
+            ).T  # (K_j, 3ew)
+        if K_j < plan.K:
+            fill = jnp.broadcast_to(
+                id_row, (plan.K - K_j, 3 * ew)
+            )
+            blk = jnp.concatenate([blk, fill], axis=0)
+        rows.append(blk)
+    partials_full = jnp.concatenate(rows, axis=0)
     return weighted_horner(plan, F, ctx, partials_full)
 
 

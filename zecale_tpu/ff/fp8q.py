@@ -42,6 +42,7 @@ import jax.numpy as jnp
 from . import fp8
 from .fp8t import (
     MASK,
+    carry16_exact_t,
     carry_exact_t,
     kogge_stone_t,
     _inc_limb0,
@@ -86,7 +87,11 @@ def _comp_kp(tc, k: int, ndim: int):
 
 
 def add_q(a, b):
-    """a + b; k_out = ka + kb.  One KS pass, no conditional subtract."""
+    """a + b; k_out = ka + kb.  One KS pass, no conditional subtract.
+
+    (A 16-bit carry domain — fp8t.carry16_exact_t — was measured SLOWER
+    on chip: the sublane pair-combine/split relayouts cost more than the
+    halved Kogge-Stone.  Byte-domain carries stay.)"""
     s, _ = kogge_stone_t(a + b)
     return s
 

@@ -109,6 +109,77 @@ def _inc_limb0(t):
     return jnp.concatenate([t[0:1] + 1, t[1:]], axis=0)
 
 
+# ---------------------------------------------------------------------------
+# 16-bit carry domain (round 4)
+#
+# Carry resolution cost scales with rows x steps; running it on combined
+# 16-bit limbs (adjacent byte pairs) halves the rows AND drops one
+# Kogge-Stone step — ~1.9x on the dominant VPU cost of every field op.
+# Bytes remain the *storage* and conv-operand form (bf16-exact one-hot
+# contraction needs byte operands); only the carry networks ride 16-bit.
+# ---------------------------------------------------------------------------
+
+MASK16 = 0xFFFF
+
+
+def combine16(acc):
+    """(K, ...) 8-bit-weighted i32 rows -> (K/2, ...) 16-bit-weighted.
+    Precondition: K even and acc[2i] + 256*acc[2i+1] < 2^31 (true for
+    limbs <= ~8.3M — every conv accumulator this framework produces).
+    Reshape+index form: strided sublane slices don't lower in Mosaic."""
+    pairs = acc.reshape(acc.shape[0] // 2, 2, *acc.shape[1:])
+    return pairs[:, 0] + (pairs[:, 1] << 8)
+
+
+def split16(c16):
+    """(K2, ...) canonical 16-bit rows -> (2*K2, ...) canonical bytes."""
+    lo = c16 & MASK
+    hi = c16 >> 8
+    return jnp.stack([lo, hi], axis=1).reshape(-1, *c16.shape[1:])
+
+
+def fold16_round(acc):
+    lo = acc & MASK16
+    hi = acc >> 16
+    z = jnp.zeros((1, *acc.shape[1:]), acc.dtype)
+    return jnp.concatenate([lo, z], axis=0) + jnp.concatenate(
+        [z, hi], axis=0
+    )
+
+
+def kogge_stone16(acc):
+    """Exact carry for 16-bit rows <= 2*65535 (131070); returns
+    (canonical 16-bit rows, carry_out)."""
+    g = acc >> 16
+    r = acc & MASK16
+    p = (r == MASK16).astype(acc.dtype)
+    K = acc.shape[0]
+    d = 1
+    G, Pp = g, p
+    while d < K:
+        G = G | (Pp & _shift_down(G, d))
+        Pp = Pp & _shift_down(Pp, d)
+        d <<= 1
+    cin = _shift_down(G, 1)
+    return (r + cin) & MASK16, G[K - 1]
+
+
+def carry16_exact_t(acc, folds: int):
+    """carry_exact_t equivalent through the 16-bit domain.  ``folds``:
+    0 when input limbs <= 510 (one KS16 pass suffices), else 1 (handles
+    any i32 conv accumulator).  Returns (byte rows, carry_out); output
+    gains 2 byte rows per fold."""
+    if acc.shape[0] % 2:
+        acc = jnp.concatenate(
+            [acc, jnp.zeros((1, *acc.shape[1:]), acc.dtype)], axis=0
+        )
+    c = combine16(acc)
+    for _ in range(folds):
+        c = fold16_round(c)
+    out16, carry = kogge_stone16(c)
+    return split16(out16), carry
+
+
 def cond_sub_p_t(x, tc):
     t = _inc_limb0(x + tc["comp_p"])
     sub, no_borrow = kogge_stone_t(t)
