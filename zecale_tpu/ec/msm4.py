@@ -160,7 +160,9 @@ def make_plan(curve_name: str, g2: bool, n: int, c: int = 0) -> Msm4Plan:
     # classified so their modulus-induced skew is <= 1.0625x), 6 sigma,
     # slack; multiple of the strip width
     avg = max(1, n2 // K)
-    B0 = 32 if ew <= 48 else 16
+    # B0 trades grid-step count against VMEM (input block + double
+    # buffer); the L=96 add body leaves only ~1 MB of stack headroom
+    B0 = 32 if ew <= 48 else 8
     C = avg + avg // 8 + 6 * int(math.isqrt(avg)) + 8
     C = -(-C // B0) * B0
     G = 8
@@ -337,6 +339,30 @@ def _padded_src(plan: Msm4Plan, skeys, starts, counts, layer):
     return jnp.concatenate([pieces[j] for j in range(plan.W)])
 
 
+def _lane_needs(plan: Msm4Plan, counts, layer):
+    """(lanes,) occupied-slot counts per bucket lane for one layer,
+    mirroring _padded_src's lane order (drives the kernel strip-skip)."""
+    C = plan.C
+    reg = list(plan.reg_wins)
+    pieces = {}
+    if reg:
+        n_reg = len(reg)
+        need = jnp.clip(counts[:n_reg] - layer * C, 0, C)
+        for i, j in enumerate(reg):
+            pieces[j] = need[i]
+    for j in plan.skew_wins:
+        K_j, S_j = plan.win_shapes[j]
+        u = jnp.arange(S_j, dtype=jnp.int32)
+        nd = jnp.clip(
+            counts[j, :K_j, None]
+            - (layer * S_j + u[None, :]) * C,
+            0,
+            C,
+        )
+        pieces[j] = nd.reshape(-1)
+    return jnp.concatenate([pieces[j] for j in range(plan.W)])
+
+
 def _table_int8(plan: Msm4Plan, F, pts_aff):
     """(2*n2 + 8, 2*ew) int8 table: [x|y rows; x|-y rows; zero rows].
 
@@ -421,9 +447,16 @@ def _tc_inputs(F, ctx):
     return keys, arrs
 
 
-def bucket_reduce_pallas(plan: Msm4Plan, F, ctx, mat_int8):
+def bucket_reduce_pallas(plan: Msm4Plan, F, ctx, mat_int8, block_need):
     """(C, 2ew, KWp) int8 bucket matrix -> (KWp, 3ew) i32 lazy partials
-    (KWp = bucket count padded to a multiple of GL)."""
+    (KWp = bucket count padded to a multiple of GL).
+
+    ``block_need``: (KWp/GL,) i32 — max occupied slots over each lane
+    block; strips entirely past it skip their adds (the capacity C
+    covers worst-case buckets, but a block's actual max is usually much
+    lower — data-driven ~25-35% compute saving at no correctness cost
+    since skipped strips hold only identity rows for every lane in the
+    block)."""
     KW = mat_int8.shape[-1]
     C, ew = plan.C, plan.ew
     B0 = plan.B0
@@ -434,8 +467,9 @@ def bucket_reduce_pallas(plan: Msm4Plan, F, ctx, mat_int8):
     }
 
     def kernel(*refs):
-        mat_ref = refs[0]
-        const_refs = refs[1 : 1 + len(names)]
+        need_ref = refs[0]
+        mat_ref = refs[1]
+        const_refs = refs[2 : 2 + len(names)]
         out_ref = refs[-2]  # output block (GL, 3ew)
         acc_ref = refs[-1]  # scratch (3ew, GL) i32, persists over j
         j = pl.program_id(1)
@@ -460,21 +494,31 @@ def bucket_reduce_pallas(plan: Msm4Plan, F, ctx, mat_int8):
                 axis=0,
             )
 
-        def body(s, acc):
-            leaf = _leaves(
-                ops, _widen(mat_ref[pl.ds(s, 1), :, :][0]), plan
-            )
-            return fp8q.proj_add_q(ops, acc, leaf, b3)
-
-        acc0 = {
-            "x": acc_ref[:ew],
-            "y": acc_ref[ew : 2 * ew],
-            "z": acc_ref[2 * ew :],
-        }
-        acc = jax.lax.fori_loop(0, B0, body, acc0)
-        acc_ref[:] = jnp.concatenate(
-            [acc["x"], acc["y"], acc["z"]], axis=0
+        # strip-skip pays only for wide coordinates (BW6/G2: compute per
+        # strip dwarfs the conditional's pipeline cost; measured a net
+        # LOSS for L=48 G1)
+        skip_pred = (
+            (j * B0 < need_ref[pl.program_id(0)])
+            if ew >= 96 else (j >= 0)
         )
+
+        @pl.when(skip_pred)
+        def _():
+            def body(s, acc):
+                leaf = _leaves(
+                    ops, _widen(mat_ref[pl.ds(s, 1), :, :][0]), plan
+                )
+                return fp8q.proj_add_q(ops, acc, leaf, b3)
+
+            acc0 = {
+                "x": acc_ref[:ew],
+                "y": acc_ref[ew : 2 * ew],
+                "z": acc_ref[2 * ew :],
+            }
+            acc = jax.lax.fori_loop(0, B0, body, acc0)
+            acc_ref[:] = jnp.concatenate(
+                [acc["x"], acc["y"], acc["z"]], axis=0
+            )
 
         @pl.when(j == n_strips - 1)
         def _():
@@ -489,6 +533,8 @@ def bucket_reduce_pallas(plan: Msm4Plan, F, ctx, mat_int8):
         kernel,
         grid=(KW // GL, n_strips),
         in_specs=[
+            pl.BlockSpec((KW // GL,), lambda i, j: (0,),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((B0, 2 * ew, GL), lambda i, j: (j, 0, i),
                          memory_space=pltpu.VMEM),
         ]
@@ -498,12 +544,15 @@ def bucket_reduce_pallas(plan: Msm4Plan, F, ctx, mat_int8):
         out_shape=jax.ShapeDtypeStruct((KW, 3 * ew), jnp.int32),
         scratch_shapes=[pltpu.VMEM((3 * ew, GL), jnp.int32)],
         interpret=_interpret(),
-    )(mat_int8, *consts)
+    )(block_need, mat_int8, *consts)
 
 
-def bucket_reduce_jnp(plan: Msm4Plan, F, ctx, mat_int8):
+def bucket_reduce_jnp(plan: Msm4Plan, F, ctx, mat_int8, block_need=None):
     """Reference path: identical math to the kernel — a lax.scan over the
-    slot rows accumulating at full bucket width (tests / CPU)."""
+    slot rows accumulating at full bucket width (tests / CPU).
+    ``block_need`` is ignored: skipped strips hold only identity rows,
+    so processing them changes nothing (the differential tests rely on
+    this equivalence)."""
     ops = _make_ops(plan, F.tc, ctx.nr_t if ctx else None)
     b3 = _b3_of(plan, ctx)
     KW = mat_int8.shape[-1]
@@ -697,10 +746,15 @@ def _msm4_run(plan: Msm4Plan, F, ctx, scal8, pts_aff, use_pallas: bool):
             .reshape(lanes, plan.C, 2 * plan.ew)
             .transpose(1, 2, 0)
         )
+        needs = _lane_needs(plan, counts, layer)
         if lanes_pad != lanes:
             # pad lanes with identity (all-zero) columns
             mat = jnp.pad(mat, ((0, 0), (0, 0), (0, lanes_pad - lanes)))
-        return reduce_fn(plan, F, ctx, mat)[:lanes]
+            needs = jnp.pad(needs, (0, lanes_pad - lanes))
+        block_need = jnp.max(
+            needs.reshape(-1, GL), axis=1
+        ).astype(jnp.int32)
+        return reduce_fn(plan, F, ctx, mat, block_need)[:lanes]
 
     partials = layer_partials(jnp.int32(0))
     reg = list(plan.reg_wins)

@@ -16,6 +16,7 @@ proofs, mirroring the reference's load-keypair-then-serve lifecycle
 from __future__ import annotations
 
 import dataclasses
+import os
 import random
 from typing import List, Optional, Sequence
 
@@ -486,8 +487,18 @@ class Groth16TPU(TpuSnarkBase):
         # ~W*n coordinate rows): heavier fields chunk earlier
         Lq = fp8.field8(self.params.q).L
         unit = (1 << 16) if Lq >= 96 else (1 << 18)
+        # round-4 dense-bucket engine (ec/msm4.py) for the a=0 family;
+        # MNT curves keep the sort-and-compact engine
+        use_msm4 = P.CURVES[self.curve_name].a == 0 and not os.environ.get(
+            "ZECALE_USE_MSM8"
+        )
 
         def run_msm(g2, c, scal, query, n):
+            if use_msm4:
+                from ..ec import msm4
+
+                dev = msm4.msm4_jit(self.curve_name, g2, n)(scal, query)
+                return msm8.unpack_jac_point8(self.curve_name, dev, g2=g2)
             chunks = max(1, n // unit)
             if chunks == 1:
                 dev = msm8.msm8_jit(self.curve_name, g2, c)(scal, query)
