@@ -69,7 +69,19 @@ def main() -> int:
         scal8 = Fr8.pack(scalars, mont=False)
         pts_dev = msm8.pack_points_affine8(CURVE, pts)
 
-    fn = msm8.msm8_jit(CURVE, False, c)
+    # round-4 dense-bucket engine (ec/msm4.py); ZECALE_USE_MSM8=1 falls
+    # back to the round-2/3 sort-and-compact engine
+    if os.environ.get("ZECALE_USE_MSM8"):
+        fn = msm8.msm8_jit(CURVE, False, c)
+    else:
+        from zecale_tpu.ec import msm4
+
+        plan = msm4.make_plan(CURVE, False, N_POINTS, WINDOW_C)
+        log(
+            f"msm4 plan: c={plan.c} W={plan.W} K={plan.K} C={plan.C} "
+            f"rows={plan.lanes * plan.C / 1e6:.2f}M"
+        )
+        fn = msm4.msm4_jit(CURVE, False, N_POINTS, WINDOW_C)
     log("compiling MSM kernel (persistent cache applies)...")
     with prof.phase("compile+first"):
         out = fn(scal8, pts_dev)

@@ -197,3 +197,141 @@ long r1cs_first_failing(const fp_ctx *c, const u64 *az, const u64 *bz,
 }
 
 long fp_ctx_size(void) { return (long)sizeof(fp_ctx); }
+
+/* -- witness hook-program replay (round 4) -------------------------------- */
+/*
+ * The protoboard's witness generation replays an ordered program of
+ * "hooks" (out = <A,w>*<B,w>, divisions, inversions, bit unpacking, ...).
+ * Round 3 ran these as Python big-int closures (5.7 s at batch 8, a wall
+ * at batch 32; fork-based replay LOST to CoW refcount storms).  This is
+ * the structural fix the round-3 VERDICT asked for (item 4): the Python
+ * build step compiles the hook list to flat bytecode and this interpreter
+ * executes it over a Montgomery-form assignment.
+ *
+ * Reference analog: witness generation inside aggregator_circuit.tcc:
+ * 119-170 is native C++ via libsnark gadget evaluate() chains.
+ *
+ * op encoding: int32[8] per op = [kind, out, a_off, a_len, b_off, b_len,
+ * aux, pad]; LC terms live in (term_var int32[], term_coeff u64[nt*nl])
+ * with coefficients in Montgomery form.
+ *   kind 0 mul:    w[out] = <A,w> * <B,w>
+ *   kind 1 div:    w[out] = <B,w> == 0 ? 0 : <A,w> / <B,w>
+ *   kind 2 invz:   w[out] = <A,w> ? 1/<A,w> : 0;  w[aux] = nz bit
+ *   kind 3 assign: w[out] = <A,w>
+ *   kind 4 unpack: plain(<A,w>) bits -> w[out .. out+aux)
+ *   kind 5 xor:    w[out] = bit(<A,w>) ^ bit(<B,w>)
+ * Assignment w is (num_vars x nl) u64, Montgomery form throughout.
+ */
+
+static int fp_is_zero(const fp_ctx *c, const u64 *a)
+{
+    for (int i = 0; i < c->nl; ++i)
+        if (a[i]) return 0;
+    return 1;
+}
+
+static void lc_eval(const fp_ctx *c, u64 *out, const u64 *w,
+                    const int32_t *tvar, const u64 *tcoef,
+                    int32_t off, int32_t len)
+{
+    int nl = c->nl;
+    u64 prod[MAX_LIMBS];
+    memset(out, 0, nl * sizeof(u64));
+    for (int32_t k = off; k < off + len; ++k) {
+        montmul(c, prod, tcoef + (size_t)k * nl,
+                w + (size_t)tvar[k] * nl);
+        addmod_(c, out, out, prod);
+    }
+}
+
+static void montpow(const fp_ctx *c, u64 *out, const u64 *base,
+                    const u64 *exp, const u64 *one_m)
+{
+    int nl = c->nl;
+    u64 acc[MAX_LIMBS], b[MAX_LIMBS];
+    memcpy(acc, one_m, nl * sizeof(u64));
+    memcpy(b, base, nl * sizeof(u64));
+    int top = nl * 64 - 1;
+    while (top >= 0 && !((exp[top / 64] >> (top % 64)) & 1))
+        --top;
+    for (int i = top; i >= 0; --i) {
+        montmul(c, acc, acc, acc);
+        if ((exp[i / 64] >> (i % 64)) & 1)
+            montmul(c, acc, acc, b);
+    }
+    memcpy(out, acc, nl * sizeof(u64));
+}
+
+/* exp_pm2 = p - 2 (for Fermat inversion), one_m = to_mont(1). */
+void hook_replay(const fp_ctx *c, u64 *w, const int32_t *ops, long n_ops,
+                 const int32_t *tvar, const u64 *tcoef,
+                 const u64 *exp_pm2, const u64 *one_m)
+{
+    int nl = c->nl;
+    u64 av[MAX_LIMBS], bv[MAX_LIMBS], tmp[MAX_LIMBS], one[MAX_LIMBS];
+    memset(one, 0, sizeof(one));
+    one[0] = 1;
+    for (long i = 0; i < n_ops; ++i) {
+        const int32_t *op = ops + i * 8;
+        int32_t kind = op[0], out = op[1];
+        int32_t a_off = op[2], a_len = op[3];
+        int32_t b_off = op[4], b_len = op[5], aux = op[6];
+        switch (kind) {
+        case 0: /* mul */
+            lc_eval(c, av, w, tvar, tcoef, a_off, a_len);
+            lc_eval(c, bv, w, tvar, tcoef, b_off, b_len);
+            montmul(c, w + (size_t)out * nl, av, bv);
+            break;
+        case 1: /* div (total: 0 when divisor is 0) */
+            lc_eval(c, av, w, tvar, tcoef, a_off, a_len);
+            lc_eval(c, bv, w, tvar, tcoef, b_off, b_len);
+            if (fp_is_zero(c, bv)) {
+                memset(w + (size_t)out * nl, 0, nl * sizeof(u64));
+            } else {
+                montpow(c, tmp, bv, exp_pm2, one_m);
+                montmul(c, w + (size_t)out * nl, av, tmp);
+            }
+            break;
+        case 2: /* inv_or_zero: out = inverse-or-0, aux = nz bit */
+            lc_eval(c, av, w, tvar, tcoef, a_off, a_len);
+            if (fp_is_zero(c, av)) {
+                memset(w + (size_t)out * nl, 0, nl * sizeof(u64));
+                memset(w + (size_t)aux * nl, 0, nl * sizeof(u64));
+            } else {
+                montpow(c, w + (size_t)out * nl, av, exp_pm2, one_m);
+                memcpy(w + (size_t)aux * nl, one_m, nl * sizeof(u64));
+            }
+            break;
+        case 3: /* assign */
+            lc_eval(c, w + (size_t)out * nl, w, tvar, tcoef, a_off,
+                    a_len);
+            break;
+        case 4: /* unpack aux low bits of the plain value */
+            lc_eval(c, av, w, tvar, tcoef, a_off, a_len);
+            montmul(c, tmp, av, one); /* from Montgomery */
+            for (int32_t b = 0; b < aux; ++b) {
+                u64 *dst = w + (size_t)(out + b) * nl;
+                if ((tmp[b / 64] >> (b % 64)) & 1)
+                    memcpy(dst, one_m, nl * sizeof(u64));
+                else
+                    memset(dst, 0, nl * sizeof(u64));
+            }
+            break;
+        case 5: /* xor of two bits */
+            lc_eval(c, av, w, tvar, tcoef, a_off, a_len);
+            lc_eval(c, bv, w, tvar, tcoef, b_off, b_len);
+            {
+                int ba = !fp_is_zero(c, av);
+                int bb = !fp_is_zero(c, bv);
+                u64 *dst = w + (size_t)out * nl;
+                if (ba ^ bb)
+                    memcpy(dst, one_m, nl * sizeof(u64));
+                else
+                    memset(dst, 0, nl * sizeof(u64));
+            }
+            break;
+        default:
+            return; /* unknown op: abort replay (caller verifies) */
+        }
+    }
+}

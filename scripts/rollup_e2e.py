@@ -40,9 +40,16 @@ def _cached(path, build, what):
     obj = build()
     dt = time.time() - t0
     try:
-        with open(path, "wb") as f:
+        # atomic write: a failed dump must not leave a corrupt cache file
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
             pickle.dump(obj, f)
+        os.replace(tmp, path)
     except Exception as e:  # circuit closures may not pickle
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
         print(f"    ({what} not cacheable: {e})", flush=True)
     print(f"[build] {what}: {dt:.1f}s", flush=True)
     return obj
@@ -62,7 +69,7 @@ def main():
 
     from zecale_tpu.aggregator.circuit import AggregatorCircuit
     from zecale_tpu.snark.groth16 import ExtendedProof, Groth16
-    from zecale_tpu.snark.groth16_tpu import Groth16TPU, pack_pk
+    from zecale_tpu.snark.groth16_tpu import Groth16TPU, pack_pk8
     from zecale_tpu.zeth.dev_vectors import make_test_joinsplit
     from zecale_tpu.zeth.joinsplit import JoinsplitCircuit
 
@@ -87,7 +94,7 @@ def main():
 
     # 3. joinsplit proofs on TPU
     t0 = time.time()
-    ndpk = pack_pk("bls12-377", nkp.pk, js_circ.r1cs.num_primary + 1)
+    ndpk = pack_pk8("bls12-377", nkp.pk, js_circ.r1cs.num_primary + 1)
     print(f"[3] nested pk packed to device: {time.time()-t0:.1f}s", flush=True)
     host_n = Groth16(js_circ.curve_name)
     eps = []
@@ -121,7 +128,7 @@ def main():
     )
 
     t0 = time.time()
-    wdpk = pack_pk("bw6-761", wkp.pk, wcirc.r1cs.num_primary + 1)
+    wdpk = pack_pk8("bw6-761", wkp.pk, wcirc.r1cs.num_primary + 1)
     print(f"[4] wrapper pk packed to device: {time.time()-t0:.1f}s",
           flush=True)
 

@@ -27,3 +27,57 @@ def test_mnt_wrapper_witness():
     w2 = circ.generate_witness(nkp.vk, [bad])
     assert circ.r1cs.first_failing_constraint(w2) is None
     assert w2[2] == 0
+
+
+@pytest.mark.slow
+def test_mnt_full_recursion_prove_verify():
+    """MNT4-298 Groth16 proofs -> MNT6-298 Groth16 wrapper: full SETUP +
+    PROVE + host VERIFY + corrupt-proof negative (reference combo
+    aggregator_dummy_test.cpp:189-240 `test_aggregator_mnt`).  Round-3
+    VERDICT missing #1: witness satisfiability is not proof parity."""
+    from zecale_tpu.native import ec as nec
+
+    if not nec.available():
+        pytest.skip("native toolchain unavailable")
+    from zecale_tpu.ec import host_curve as hc
+    from zecale_tpu.snark.groth16 import Groth16Proof
+    from zecale_tpu.snark.groth16_native import Groth16Native
+
+    BATCH = 2
+    rng = random.Random(13)
+    _, nkp = da.dummy_app_setup("mnt4-298", rng)
+    eps = [
+        da.dummy_app_prove("mnt4-298", nkp, 5 + i, rng)
+        for i in range(BATCH)
+    ]
+    circ = AggregatorCircuit(1, BATCH, wrapper_curve="mnt6-298")
+    prover = Groth16Native("mnt6-298")
+    wkp = prover.generate_setup(circ.r1cs, rng)
+
+    wep = circ.prove(nkp.vk, eps, wkp.pk, rng, prover=prover, check=True)
+    assert prover.verify(wep.inputs, wep.proof, wkp.vk)
+    # primary layout [vk_hash, packed results, nested inputs...]
+    assert wep.inputs[0] == circ.compute_nested_vk_hash(nkp.vk)
+    assert wep.inputs[1] == (1 << BATCH) - 1
+    for i in range(BATCH):
+        assert wep.inputs[2 + i] == 5 + i
+    bad_in = list(wep.inputs)
+    bad_in[2] = (bad_in[2] + 1) % prover.r
+    assert not prover.verify(bad_in, wep.proof, wkp.vk)
+
+    # corrupt one nested proof -> wrapper still proves, result bit 0
+    g1 = hc.g1_curve("mnt4-298")
+    corrupt = ExtendedProof(
+        proof=Groth16Proof(
+            a=g1.dbl(eps[0].proof.a),
+            b=eps[0].proof.b,
+            c=eps[0].proof.c,
+        ),
+        inputs=list(eps[0].inputs),
+    )
+    wep2 = circ.prove(
+        nkp.vk, [corrupt] + eps[1:], wkp.pk, rng, prover=prover,
+        check=True,
+    )
+    assert prover.verify(wep2.inputs, wep2.proof, wkp.vk)
+    assert wep2.inputs[1] == (1 << BATCH) - 2

@@ -143,7 +143,7 @@ class AggregatorCircuit:
         def fn(w, _v=var_idx, _lc=lc, _pb=pb):
             w[_v] = _pb.lc_val(w, _lc)
 
-        pb.add_hook(fn)
+        pb.add_hook(fn, op=("assign", var_idx, lc))
 
     # ------------------------------------------------------------------
     @property

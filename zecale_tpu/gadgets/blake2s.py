@@ -172,7 +172,7 @@ def _word_xor(pb: Protoboard, a: _Word, b: _Word) -> _Word:
         def fn(w, _x=x, _y=y, _v=v, _pb=pb):
             w[_v] = _pb.lc_val(w, _x) ^ _pb.lc_val(w, _y)
 
-        pb.add_hook(fn)
+        pb.add_hook(fn, op=("xor", v, x, y))
         # c = x + y - 2xy  <=>  (2x)(y) = x + y - c
         pb.add_r1cs(x.scale(2), y, x + y - LC.of_var(v))
         out.append(LC.of_var(v))

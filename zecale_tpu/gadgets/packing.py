@@ -33,7 +33,7 @@ def unpack_bits(pb: Protoboard, x: LC, num_bits: int) -> List[LC]:
         for i, idx in enumerate(_bits):
             w[idx] = (v >> i) & 1
 
-    pb.add_hook(fn)
+    pb.add_hook(fn, op=("unpack", bit_vars[0], num_bits, x))
     bits = [LC.of_var(i) for i in bit_vars]
     for b in bits:
         pb.enforce_boolean(b)

@@ -80,6 +80,8 @@ class Protoboard:
         self._primary_sealed = False
         self.constraints: List[Tuple[LC, LC, LC]] = []
         self.witness_hooks: List[Callable[[List[int]], None]] = []
+        self.hook_ops: List = []  # structured descriptors (or None)
+        self._hook_prog = None  # compiled native program cache
         self.ONE = LC.const(1)
 
     # -- allocation ---------------------------------------------------------
@@ -123,8 +125,14 @@ class Protoboard:
         self.add_r1cs(x, x - self.ONE, LC())
 
     # -- witness program ----------------------------------------------------
-    def add_hook(self, fn: Callable[[List[int]], None]) -> None:
+    def add_hook(self, fn: Callable[[List[int]], None], op=None) -> None:
+        """Register a witness hook.  ``op``: optional structured bytecode
+        descriptor for the native replay engine (csrc/witness_engine.c
+        hook_replay); hooks without one run as Python closures against a
+        Montgomery-array view between native segments."""
         self.witness_hooks.append(fn)
+        self.hook_ops.append(op)
+        self._hook_prog = None
 
     def lc_val(self, assignment: List[int], lc: LC) -> int:
         acc = 0
@@ -138,7 +146,7 @@ class Protoboard:
         def fn(w: List[int], _a=a, _b=b, _o=out_idx, _pb=self):
             w[_o] = _pb.lc_val(w, _a) * _pb.lc_val(w, _b) % _pb.r
 
-        self.add_hook(fn)
+        self.add_hook(fn, op=("mul", out_idx, a, b))
 
     # -- common gadget primitives ------------------------------------------
     def mul(self, a: LC, b: LC) -> LC:
@@ -165,7 +173,7 @@ class Protoboard:
             av = _pb.lc_val(w, _a)
             w[_v] = 0 if bv == 0 else av * pow(bv, _pb.r - 2, _pb.r) % _pb.r
 
-        self.add_hook(fn)
+        self.add_hook(fn, op=("div", v, a, b))
         self.add_r1cs(LC.of_var(v), b, a)
         return LC.of_var(v)
 
@@ -186,7 +194,7 @@ class Protoboard:
                 w[_ai] = pow(av, _pb.r - 2, _pb.r)
                 w[_nz] = 1
 
-        self.add_hook(fn)
+        self.add_hook(fn, op=("invz", ainv, nz, a))
         nz_lc = LC.of_var(nz)
         self.add_r1cs(a, LC.of_var(ainv), nz_lc)
         self.add_r1cs(a, self.ONE - nz_lc, LC())
@@ -247,6 +255,25 @@ class Protoboard:
             w[1 + i] = v % self.r
         if extra_setter is not None:
             extra_setter(w)
+
+        # round-4 default: the native C hook-replay engine
+        # (csrc/witness_engine.c hook_replay) executes the structured
+        # bytecode of the witness program; unstructured hooks run as
+        # Python closures between native segments.  ZECALE_PY_WITNESS=1
+        # forces the pure-Python loop (differential testing).
+        if not os.environ.get("ZECALE_PY_WITNESS"):
+            prog = self._hook_prog
+            if prog is None:
+                try:
+                    from ..native.witness import HookProgram
+
+                    prog = HookProgram(self)
+                except Exception:
+                    prog = False
+                self._hook_prog = prog
+            if prog and prog.available:
+                return prog.run(w)
+
         if not parallel_ranges or len(parallel_ranges) < 2:
             for hook in self.witness_hooks:
                 hook(w)

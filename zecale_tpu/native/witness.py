@@ -175,3 +175,150 @@ class NativeR1CS:
             if az[i] * bz[i] % r != cz[i]:
                 return i
         return None
+
+
+# ---------------------------------------------------------------------------
+# witness hook-program replay (round 4 — VERDICT r3 item 4)
+# ---------------------------------------------------------------------------
+
+
+def _pack_fast(vals: Sequence[int], nl: int) -> np.ndarray:
+    """Batch int -> u64-limb pack via one bytes buffer (the per-element
+    _limbs64 path costs ~2.5 us/element in Python — a wall at 250k vars)."""
+    w = nl * 8
+    buf = b"".join(int(v).to_bytes(w, "little") for v in vals)
+    return (
+        np.frombuffer(buf, dtype=np.uint64).reshape(len(vals), nl).copy()
+    )
+
+
+def _unpack_fast(arr: np.ndarray) -> List[int]:
+    nl = arr.shape[1]
+    w = nl * 8
+    buf = arr.astype(np.uint64).tobytes()
+    return [
+        int.from_bytes(buf[i * w : (i + 1) * w], "little")
+        for i in range(arr.shape[0])
+    ]
+
+
+class _MontView:
+    """List-like adapter over the Montgomery u64 assignment array, so
+    unstructured Python hooks (tower inversions etc.) read and write
+    plain ints transparently between native segments."""
+
+    def __init__(self, F: NativeField, arr: np.ndarray):
+        self.F = F
+        self.arr = arr
+        self.r = F.p
+        self.R = 1 << (64 * F.nl)
+        self.rinv = pow(self.R, F.p - 2, F.p)
+
+    def __getitem__(self, i: int) -> int:
+        return _from_limbs64(self.arr[i]) * self.rinv % self.r
+
+    def __setitem__(self, i: int, v: int) -> None:
+        self.arr[i] = _limbs64(v % self.r * self.R % self.r, self.F.nl)
+
+    def __len__(self) -> int:
+        return self.arr.shape[0]
+
+
+class HookProgram:
+    """Compiled witness program: structured hooks flattened to the C
+    bytecode (csrc/witness_engine.c hook_replay); unstructured hooks run
+    as Python closures against a _MontView between native segments.
+
+    Build once per protoboard, replay per prove.  Replaces the Python
+    closure loop (and the abandoned fork-replay experiment) as the
+    witness engine behind Protoboard.generate_witness."""
+
+    KINDS = {"mul": 0, "div": 1, "invz": 2, "assign": 3, "unpack": 4,
+             "xor": 5}
+
+    def __init__(self, pb):
+        self.pb = pb
+        self.F = native_field(pb.r)
+        self.segments = []  # ("c", ops_arr) | ("py", hook_index)
+        if not self.F.available:
+            return
+        F = self.F
+        nl = F.nl
+        r = pb.r
+        R = 1 << (64 * nl)
+        tvar: List[int] = []
+        tcoef: List[int] = []  # Montgomery-form coefficients
+
+        def flat_lc(lc) -> tuple:
+            off = len(tvar)
+            terms = lc.as_list() if hasattr(lc, "as_list") else lc
+            for idx, coeff in terms:
+                tvar.append(idx)
+                tcoef.append(coeff % r * R % r)
+            return off, len(terms)
+
+        cur: List[List[int]] = []
+        for hi, op in enumerate(pb.hook_ops):
+            if op is None:
+                if cur:
+                    self.segments.append(("c", cur))
+                    cur = []
+                self.segments.append(("py", hi))
+                continue
+            kind = self.KINDS[op[0]]
+            if op[0] in ("mul", "div", "xor"):
+                _, out, a, b = op
+                ao, al = flat_lc(a)
+                bo, bl = flat_lc(b)
+                cur.append([kind, out, ao, al, bo, bl, 0, 0])
+            elif op[0] == "invz":
+                _, ainv, nz, a = op
+                ao, al = flat_lc(a)
+                cur.append([kind, ainv, ao, al, 0, 0, nz, 0])
+            elif op[0] == "assign":
+                _, out, lc = op
+                ao, al = flat_lc(lc)
+                cur.append([kind, out, ao, al, 0, 0, 0, 0])
+            elif op[0] == "unpack":
+                _, out0, nbits, lc = op
+                ao, al = flat_lc(lc)
+                cur.append([kind, out0, ao, al, 0, 0, nbits, 0])
+        if cur:
+            self.segments.append(("c", cur))
+        self.segments = [
+            (k, np.asarray(v, dtype=np.int32) if k == "c" else v)
+            for k, v in self.segments
+        ]
+        self.tvar = np.asarray(tvar, dtype=np.int32)
+        self.tcoef = _pack_fast(tcoef, nl)
+        self.pm2 = _limbs64(r - 2, nl)
+        self.one_m = _limbs64(R % r, nl)
+
+    @property
+    def available(self) -> bool:
+        return self.F.available
+
+    def run(self, w: List[int]) -> List[int]:
+        """Replay over a plain-int assignment list (primary + seeded
+        free inputs filled, the rest 0); returns the completed list."""
+        F = self.F
+        arr = _pack_fast([v % F.p for v in w], F.nl)
+        arr_m = F.to_mont(arr)
+        view = None
+        for kind, payload in self.segments:
+            if kind == "c":
+                F.lib.hook_replay(
+                    F.ctx,
+                    arr_m.ctypes.data_as(ctypes.c_void_p),
+                    payload.ctypes.data_as(ctypes.c_void_p),
+                    ctypes.c_long(payload.shape[0]),
+                    self.tvar.ctypes.data_as(ctypes.c_void_p),
+                    self.tcoef.ctypes.data_as(ctypes.c_void_p),
+                    self.pm2.ctypes.data_as(ctypes.c_void_p),
+                    self.one_m.ctypes.data_as(ctypes.c_void_p),
+                )
+            else:
+                if view is None:
+                    view = _MontView(F, arr_m)
+                self.pb.witness_hooks[payload](view)
+        return _unpack_fast(F.from_mont(arr_m))

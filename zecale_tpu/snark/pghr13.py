@@ -90,6 +90,21 @@ class Pghr13:
         self.g2 = self.ctx.g2
         self.r = self.params.r
 
+    # -- overridable batched group primitives ---------------------------
+    def _g1_many(self, scalars: Sequence[int]) -> List:
+        g1gen, _ = hc.generators(self.curve_name)
+        return [self.g1.mul(k % self.r, g1gen) for k in scalars]
+
+    def _g2_many(self, scalars: Sequence[int]) -> List:
+        _, g2gen = hc.generators(self.curve_name)
+        return [self.g2.mul(k % self.r, g2gen) for k in scalars]
+
+    def _msm_g1(self, scalars: Sequence[int], pts: Sequence):
+        return self.g1.msm(scalars, pts)
+
+    def _msm_g2(self, scalars: Sequence[int], pts: Sequence):
+        return self.g2.msm(scalars, pts)
+
     # ------------------------------------------------------------------
     def generate_setup(
         self, r1cs: R1CS, rng: Optional[random.Random] = None
@@ -122,31 +137,31 @@ class Pghr13:
         for i in range(num_pub):
             At_priv[i] = 0  # public A coefficients live in vk.IC
 
+        # every setup element is a fixed-base multiple of a generator:
+        # batched through _g1_many/_g2_many so Pghr13Native can route
+        # them to the C engine's fixed-base ladder
+        tp = [1] * (d_size + 1)
+        for i in range(1, d_size + 1):
+            tp[i] = tp[i - 1] * t % r
+        aq0 = self._g1_many([rhoA * v for v in At_priv])
+        aq1 = self._g1_many([alphaA * rhoA % r * v for v in At_priv])
+        bq0 = self._g2_many([rhoB * v for v in Bt])
+        bq1 = self._g1_many([alphaB * rhoB % r * v for v in Bt])
+        cq0 = self._g1_many([rhoC * v for v in Ct])
+        cq1 = self._g1_many([alphaC * rhoC % r * v for v in Ct])
+        k_query = self._g1_many(
+            [
+                beta * (rhoA * At[i] + rhoB * Bt[i] + rhoC * Ct[i]) % r
+                for i in range(m)
+            ]
+        )
+        h_query = self._g1_many(tp)
+        a_query = list(zip(aq0, aq1))
+        b_query = list(zip(bq0, bq1))
+        c_query = list(zip(cq0, cq1))
         g1gen, g2gen = hc.generators(self.curve_name)
         G1 = lambda k: self.g1.mul(k % r, g1gen)  # noqa: E731
         G2 = lambda k: self.g2.mul(k % r, g2gen)  # noqa: E731
-
-        a_query = [
-            (G1(rhoA * At_priv[i]), G1(alphaA * rhoA % r * At_priv[i]))
-            for i in range(m)
-        ]
-        b_query = [
-            (G2(rhoB * Bt[i]), G1(alphaB * rhoB % r * Bt[i]))
-            for i in range(m)
-        ]
-        c_query = [
-            (G1(rhoC * Ct[i]), G1(alphaC * rhoC % r * Ct[i]))
-            for i in range(m)
-        ]
-        k_query = [
-            G1(
-                beta
-                * (rhoA * At[i] + rhoB * Bt[i] + rhoC * Ct[i])
-                % r
-            )
-            for i in range(m)
-        ]
-        h_query = [G1(pow(t, i, r)) for i in range(d_size + 1)]
 
         pk = Pghr13ProvingKey(
             a_query=a_query,
@@ -199,20 +214,17 @@ class Pghr13:
         hp_coeffs[0] = (hp_coeffs[0] - d1 * d2 - d3) % r
         hp_coeffs[d.size] = (hp_coeffs[d.size] + d1 * d2) % r
 
-        g1 = self.g1
-        g2 = self.g2
-
         def msm1(queries, idx: int):
-            return g1.msm(coeffs, [q[idx] for q in queries])
+            return self._msm_g1(coeffs, [q[idx] for q in queries])
 
         A = msm1(pk.a_query, 0)
         Ap = msm1(pk.a_query, 1)
-        B = g2.msm(coeffs, [q[0] for q in pk.b_query])
+        B = self._msm_g2(coeffs, [q[0] for q in pk.b_query])
         Bp = msm1(pk.b_query, 1)
         C = msm1(pk.c_query, 0)
         Cp = msm1(pk.c_query, 1)
-        K = g1.msm(coeffs, pk.k_query)
-        H = g1.msm(hp_coeffs, pk.h_query)
+        K = self._msm_g1(coeffs, pk.k_query)
+        H = self._msm_g1(hp_coeffs, pk.h_query)
         return Pghr13Proof(a=A, a_p=Ap, b=B, b_p=Bp, c=C, c_p=Cp, h=H, k=K)
 
     # ------------------------------------------------------------------
@@ -287,3 +299,54 @@ class Pghr13:
                 (g1.neg(proof.c), g2gen),
             ]
         )
+
+
+class Pghr13Native(Pghr13):
+    """PGHR13 with the C engine (csrc/ec_engine.c) behind setup and
+    prove: fixed-base ladders for the key queries, Pippenger MSMs for
+    the eight proof elements.  Same keys/proofs/verify as Pghr13 — only
+    the group-op backend changes.  Needed for full-recursion parity: a
+    PGHR13 *wrapper* over BW6-761 (reference ZECALE_SNARK=PGHR13,
+    aggregator_dummy_test.cpp:189-240) proves ~30k-constraint circuits,
+    hours in pure-host bigints, seconds natively."""
+
+    def __init__(self, curve_name: str):
+        super().__init__(curve_name)
+        from ..native import ec as nec
+
+        assert nec.available(), "native engine unavailable"
+        self._n1 = nec.NativeCurve(curve_name, g2=False)
+        self._n2 = nec.NativeCurve(curve_name, g2=True)
+
+    def _g1_many(self, scalars: Sequence[int]) -> List:
+        g1gen, _ = hc.generators(self.curve_name)
+        return self._n1.fixed_base_mul_batch(
+            [k % self.r for k in scalars], g1gen
+        )
+
+    def _g2_many(self, scalars: Sequence[int]) -> List:
+        _, g2gen = hc.generators(self.curve_name)
+        return self._n2.fixed_base_mul_batch(
+            [k % self.r for k in scalars], g2gen
+        )
+
+    def _filter(self, scalars, pts):
+        out_s, out_p = [], []
+        for s, p in zip(scalars, pts):
+            if p is None or s % self.r == 0:
+                continue
+            out_s.append(s % self.r)
+            out_p.append(p)
+        return out_s, out_p
+
+    def _msm_g1(self, scalars: Sequence[int], pts: Sequence):
+        s, p = self._filter(scalars, pts)
+        if not p:
+            return None
+        return self._n1.msm(s, p)
+
+    def _msm_g2(self, scalars: Sequence[int], pts: Sequence):
+        s, p = self._filter(scalars, pts)
+        if not p:
+            return None
+        return self._n2.msm(s, p)
