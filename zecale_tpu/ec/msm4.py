@@ -291,17 +291,20 @@ def _starts_counts(plan: Msm4Plan, skeys):
     return starts, counts
 
 
-def _padded_src(plan: Msm4Plan, skeys, starts, counts, layer):
+def _padded_src(plan: Msm4Plan, skeys, starts, counts, layer,
+                win_range=None):
     """(lanes*C,) table-row indices for one capacity layer, in window
     order.  Window j's bucket b spreads over S_j sub-lanes: slot
     (b, u, s) reads sorted entry starts[j,b] + layer*S_j*C + u*C + s
     (identity row 2*n2 past the count).  Regular windows (S_j=1, full K)
-    batch into one gather."""
+    batch into one gather.  ``win_range=(lo, hi)`` restricts to a window
+    group (peak-HBM chunking)."""
     K, C = plan.K, plan.C
+    lo, hi = win_range or (0, plan.W)
     mask = (1 << plan.shift) - 1
     idrow = 2 * plan.n2
     s = jnp.arange(C, dtype=jnp.int32)
-    reg = list(plan.reg_wins)
+    reg = [j for j in plan.reg_wins if lo <= j < hi]
 
     pieces = {}
     if reg:
@@ -311,20 +314,25 @@ def _padded_src(plan: Msm4Plan, skeys, starts, counts, layer):
         # row-gather form (skeys[jnp.asarray(reg)]) MISCOMPILES on the
         # axon TPU backend at 2^18-scale shapes (stride-patterned
         # garbage, caught by the device-side consistency check).
+        r0, r1 = reg[0], reg[-1] + 1
+        assert reg == list(range(r0, r1)), (
+            "regular windows must be a contiguous prefix slice"
+        )
         n_reg = len(reg)
-        assert reg == list(range(n_reg)), "regular windows must be a prefix"
         off = layer * C + s[None, None, :]
-        pos = starts[:n_reg, :-1, None] + off
-        valid = off < counts[:n_reg, :, None]
+        pos = starts[r0:r1, :-1, None] + off
+        valid = off < counts[r0:r1, :, None]
         pos = jnp.clip(pos, 0, plan.n2 - 1)
         g = jnp.take_along_axis(
-            skeys[:n_reg], pos.reshape(n_reg, K * C), axis=1
+            skeys[r0:r1], pos.reshape(n_reg, K * C), axis=1
         ).reshape(n_reg, K, C)
         rblk = jnp.where(valid, g & mask, idrow)
         for i, j in enumerate(reg):
             pieces[j] = rblk[i].reshape(-1)
 
     for j in plan.skew_wins:
+        if not (lo <= j < hi):
+            continue
         K_j, S_j = plan.win_shapes[j]
         u = jnp.arange(S_j, dtype=jnp.int32)
         off = layer * S_j * C + u[None, :, None] * C + s[None, None, :]
@@ -336,21 +344,26 @@ def _padded_src(plan: Msm4Plan, skeys, starts, counts, layer):
         ).reshape(K_j, S_j, C)
         pieces[j] = jnp.where(valid, g & mask, idrow).reshape(-1)
 
-    return jnp.concatenate([pieces[j] for j in range(plan.W)])
+    return jnp.concatenate(
+        [pieces[j] for j in range(lo, hi) if j in pieces]
+    )
 
 
-def _lane_needs(plan: Msm4Plan, counts, layer):
+def _lane_needs(plan: Msm4Plan, counts, layer, win_range=None):
     """(lanes,) occupied-slot counts per bucket lane for one layer,
     mirroring _padded_src's lane order (drives the kernel strip-skip)."""
     C = plan.C
-    reg = list(plan.reg_wins)
+    lo, hi = win_range or (0, plan.W)
+    reg = [j for j in plan.reg_wins if lo <= j < hi]
     pieces = {}
     if reg:
-        n_reg = len(reg)
-        need = jnp.clip(counts[:n_reg] - layer * C, 0, C)
+        r0, r1 = reg[0], reg[-1] + 1
+        need = jnp.clip(counts[r0:r1] - layer * C, 0, C)
         for i, j in enumerate(reg):
             pieces[j] = need[i]
     for j in plan.skew_wins:
+        if not (lo <= j < hi):
+            continue
         K_j, S_j = plan.win_shapes[j]
         u = jnp.arange(S_j, dtype=jnp.int32)
         nd = jnp.clip(
@@ -360,7 +373,9 @@ def _lane_needs(plan: Msm4Plan, counts, layer):
             C,
         )
         pieces[j] = nd.reshape(-1)
-    return jnp.concatenate([pieces[j] for j in range(plan.W)])
+    return jnp.concatenate(
+        [pieces[j] for j in range(lo, hi) if j in pieces]
+    )
 
 
 def _table_int8(plan: Msm4Plan, F, pts_aff):
@@ -734,27 +749,56 @@ def _msm4_run(plan: Msm4Plan, F, ctx, scal8, pts_aff, use_pallas: bool):
     table = _table_int8(plan, F, pts_aff)
     reduce_fn = bucket_reduce_pallas if use_pallas else bucket_reduce_jnp
 
-    lanes = plan.lanes
-    lanes_pad = -(-lanes // GL) * GL
     ops = _make_ops(plan, F.tc, ctx.nr_t if ctx else None)
     b3 = _b3_of(plan, ctx)
 
+    # window-group chunking bounds peak HBM: the bucket matrix for ALL
+    # windows at once is multi-GB for BW6-761 (5.5 GB at n=2^18, plus
+    # the gather output before the transpose) — groups of windows whose
+    # matrices stay under ~3/4 GB run through the kernel sequentially,
+    # and XLA's liveness reuses the buffers across groups.
+    budget = 768 << 20
+    groups = []
+    glo = 0
+    gbytes = 0
+    for j in range(plan.W):
+        K_j, S_j = plan.win_shapes[j]
+        wb = K_j * S_j * plan.C * 2 * plan.ew
+        if gbytes and gbytes + wb > budget:
+            groups.append((glo, j))
+            glo, gbytes = j, 0
+        gbytes += wb
+    groups.append((glo, plan.W))
+
     def layer_partials(layer):
-        src = _padded_src(plan, skeys, starts, counts, layer)
-        mat = (
-            table[src]
-            .reshape(lanes, plan.C, 2 * plan.ew)
-            .transpose(1, 2, 0)
-        )
-        needs = _lane_needs(plan, counts, layer)
-        if lanes_pad != lanes:
-            # pad lanes with identity (all-zero) columns
-            mat = jnp.pad(mat, ((0, 0), (0, 0), (0, lanes_pad - lanes)))
-            needs = jnp.pad(needs, (0, lanes_pad - lanes))
-        block_need = jnp.max(
-            needs.reshape(-1, GL), axis=1
-        ).astype(jnp.int32)
-        return reduce_fn(plan, F, ctx, mat, block_need)[:lanes]
+        parts = []
+        for lo, hi in groups:
+            lanes_g = sum(
+                k * s for k, s in plan.win_shapes[lo:hi]
+            )
+            pad_g = -(-lanes_g // GL) * GL
+            src = _padded_src(
+                plan, skeys, starts, counts, layer, (lo, hi)
+            )
+            mat = (
+                table[src]
+                .reshape(lanes_g, plan.C, 2 * plan.ew)
+                .transpose(1, 2, 0)
+            )
+            needs = _lane_needs(plan, counts, layer, (lo, hi))
+            if pad_g != lanes_g:
+                # pad lanes with identity (all-zero) columns
+                mat = jnp.pad(
+                    mat, ((0, 0), (0, 0), (0, pad_g - lanes_g))
+                )
+                needs = jnp.pad(needs, (0, pad_g - lanes_g))
+            block_need = jnp.max(
+                needs.reshape(-1, GL), axis=1
+            ).astype(jnp.int32)
+            parts.append(
+                reduce_fn(plan, F, ctx, mat, block_need)[:lanes_g]
+            )
+        return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
 
     partials = layer_partials(jnp.int32(0))
     reg = list(plan.reg_wins)
