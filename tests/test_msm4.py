@@ -119,3 +119,45 @@ def test_msm4_agrees_with_msm8():
     a = msm4.msm4(curve, scalars, pts, use_pallas=False)
     b = msm8.msm8(curve, scalars, pts, use_pallas=False)
     assert a == b
+
+
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_msm4_bit_heavy_witness_distribution(use_pallas):
+    """Witness-like scalars (mostly 0/1 wire values + a few full-size
+    elements) flood single buckets of window 0 — the rank-ladder must
+    absorb them without capacity-layer storms (round-4 regression: this
+    distribution crashed the TPU worker via ~280 layer passes)."""
+    rng = random.Random(11)
+    curve = "bls12-377"
+    r = P.CURVES[curve].r
+    n = 300
+    pts = _points(curve, n)
+    scalars = []
+    for i in range(n):
+        roll = rng.random()
+        if roll < 0.45:
+            scalars.append(1)
+        elif roll < 0.65:
+            scalars.append(0)
+        elif roll < 0.8:
+            scalars.append(rng.randrange(2, 64))
+        else:
+            scalars.append(rng.randrange(r))
+    from zecale_tpu.ff import fp8
+
+    Fr8 = fp8.field8(r)
+    scal8 = Fr8.pack([s % r for s in scalars], mont=False)
+    calib = msm4.calibrate_slanes(curve, False, n, scal8)
+    from zecale_tpu.ec import msm8 as m8
+
+    pts_dev = m8.pack_points_affine8(curve, pts)
+    acc = msm4.msm4_jit(curve, False, n, 0, use_pallas, calib)(
+        scal8, pts_dev
+    )
+    got = m8.unpack_jac_point8(curve, acc)
+    assert got == _host_msm(curve, scalars, pts)
+    if not use_pallas:
+        # un-calibrated path must ALSO be correct (layers fire); one
+        # variant keeps the fast suite inside its compile budget
+        got2 = msm4.msm4(curve, scalars, pts, use_pallas=False)
+        assert got2 == _host_msm(curve, scalars, pts)

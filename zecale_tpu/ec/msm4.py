@@ -74,6 +74,28 @@ def _next_pow2(n: int) -> int:
     return 1 << max(0, (n - 1).bit_length())
 
 
+def _merge_classes(K_j: int, a: tuple, b: tuple) -> tuple:
+    """Element-wise max of two rank->S envelopes given as RLE class
+    tuples ((S, m), ...), re-encoded as RLE covering K_j ranks."""
+
+    def expand(cls):
+        out = []
+        for s, m in cls:
+            out.extend([s] * m)
+        out.extend([1] * (K_j - len(out)))
+        return out[:K_j]
+
+    ea, eb = expand(a), expand(b)
+    merged = [max(x, y) for x, y in zip(ea, eb)]
+    rle = []
+    for s in merged:
+        if rle and rle[-1][0] == s:
+            rle[-1][1] += 1
+        else:
+            rle.append([s, 1])
+    return tuple((s, m) for s, m in rle)
+
+
 @dataclasses.dataclass(frozen=True)
 class Msm4Plan:
     curve_name: str
@@ -88,17 +110,18 @@ class Msm4Plan:
     ew: int          # limbs per coordinate (L for Fq, 2L for Fq2)
     fq2: bool
     b3_small: int | None  # small b3, or None for the Fq2 twist constant
-    # Per-window bucket-lane shape (K_j, S_j): window j's buckets are
-    # spread over S_j sub-lanes of capacity C each (sub-lane partials
-    # fold back before the weighted reduction).  High windows are SKEWED
-    # — their digit distribution follows the scalar-field modulus r, not
-    # uniformity: the top real window only takes values < r >> (c*j)
-    # (e.g. 1190 of 2048 for BLS12-377 r at c=11 -> 1.7x bucket skew; a
-    # few units for BW6-761 r -> ~500x), and the carry-only window above
-    # it puts ~n/2 points into bucket 1.  S_j/K_j are computed statically
-    # from r in make_plan; windows with (K_j == K, S_j == 1) batch
-    # together as "regular".
-    win_shapes: tuple  # tuple of (K_j, S_j) per window
+    # Per-window bucket-lane RANK LADDER: win_shapes[j] = (K_j, classes)
+    # with classes = ((S, m), ...): the m buckets with the largest
+    # counts (rank order, mapped DYNAMICALLY per call via an argsort of
+    # the measured counts) each get S sub-lanes of capacity C; sub-lane
+    # partials fold back and un-permute before the weighted reduction.
+    # This one mechanism covers every skew source: high windows whose
+    # digit span follows the modulus (the top real window takes values
+    # < r >> (c*j); the carry-only window above it puts ~n/2 points in
+    # ONE bucket) and bit-heavy witness scalars (bucket 1 of window 0
+    # can hold 10^5 entries for circuit wires).  "Flat" windows
+    # (classes == ((1, K),)) skip the permutation and batch together.
+    win_shapes: tuple  # tuple of (K_j, ((S, m), ...)) per window
 
     @property
     def logn(self) -> int:
@@ -110,22 +133,28 @@ class Msm4Plan:
 
     @property
     def reg_wins(self) -> tuple:
+        """Flat windows: one lane per bucket, no rank permutation."""
         return tuple(
-            j for j, (k, s) in enumerate(self.win_shapes)
-            if k == self.K and s == 1
+            j for j, (k, cls) in enumerate(self.win_shapes)
+            if k == self.K and cls == ((1, self.K),)
         )
 
     @property
     def skew_wins(self) -> tuple:
         return tuple(
-            j for j, (k, s) in enumerate(self.win_shapes)
-            if not (k == self.K and s == 1)
+            j for j, (k, cls) in enumerate(self.win_shapes)
+            if not (k == self.K and cls == ((1, self.K),))
         )
+
+    @staticmethod
+    def win_lanes(shape) -> int:
+        _, classes = shape
+        return sum(s * m for s, m in classes)
 
     @property
     def lanes(self) -> int:
         """Total bucket lanes before GL padding."""
-        return sum(k * s for k, s in self.win_shapes)
+        return sum(self.win_lanes(ws) for ws in self.win_shapes)
 
 
 def default_window4(n: int) -> int:
@@ -142,7 +171,14 @@ def default_window4(n: int) -> int:
 
 
 @functools.lru_cache(maxsize=None)
-def make_plan(curve_name: str, g2: bool, n: int, c: int = 0) -> Msm4Plan:
+def make_plan(curve_name: str, g2: bool, n: int, c: int = 0,
+              calib: tuple = ()) -> Msm4Plan:
+    """``calib``: optional per-window sub-lane counts (from
+    calibrate_slanes) overriding the uniform-scalar model.  Witness MSMs
+    are NOT uniform — circuit wires are bit-heavy, so window 0's small
+    buckets can hold 10^5 entries (the analytic plan then burns hundreds
+    of capacity layers).  The prover measures real counts once per
+    circuit and passes the quantized S_j tuple here."""
     cp = P.CURVES[curve_name]
     assert cp.a == 0, "msm4 serves the a=0 family (BLS12-377 / BW6-761)"
     n2 = _next_pow2(max(n, 256))
@@ -178,13 +214,20 @@ def make_plan(curve_name: str, g2: bool, n: int, c: int = 0) -> Msm4Plan:
     for jw in range(W):
         span = (r_mod >> (c * jw)) + 2
         if span >= (16 << c):
-            win_shapes.append((K, 1))
-            continue
-        per = -(-span // (1 << c))
-        worst = min(n2, 2 * n2 * per // span + 1)
-        need = min(n2, worst + 6 * int(math.isqrt(worst)) + 8)
-        S_j = max(1, -(-need // C))
-        win_shapes.append((min(K, span), S_j))
+            K_j, classes = K, ((1, K),)
+        else:
+            per = -(-span // (1 << c))
+            worst = min(n2, 2 * n2 * per // span + 1)
+            need = min(n2, worst + 6 * int(math.isqrt(worst)) + 8)
+            S_j = max(1, -(-need // C))
+            K_j = min(K, span)
+            classes = ((S_j, K_j),)
+        if calib:
+            # calibrated envelope (rank -> sub-lane count) from measured
+            # counts; union with the analytic classes by taking the
+            # element-wise max over ranks
+            classes = _merge_classes(K_j, classes, calib[jw])
+        win_shapes.append((K_j, classes))
     win_shapes = tuple(win_shapes)
     if fq2:
         b3_small = None
@@ -291,14 +334,34 @@ def _starts_counts(plan: Msm4Plan, skeys):
     return starts, counts
 
 
+def _rank_order(plan: Msm4Plan, counts, j: int):
+    """Descending-count bucket permutation for a ladder window: order[r]
+    = bucket index (0-based) of rank r, inv[b] = rank of bucket b."""
+    K_j = plan.win_shapes[j][0]
+    order = jnp.argsort(-counts[j, :K_j]).astype(jnp.int32)
+    inv = jnp.argsort(order).astype(jnp.int32)
+    return order, inv
+
+
+def _class_ranks(classes):
+    """[(S, rank_lo, rank_hi), ...] from the RLE class tuple."""
+    out = []
+    r0 = 0
+    for s, m in classes:
+        out.append((s, r0, r0 + m))
+        r0 += m
+    return out
+
+
 def _padded_src(plan: Msm4Plan, skeys, starts, counts, layer,
                 win_range=None):
     """(lanes*C,) table-row indices for one capacity layer, in window
-    order.  Window j's bucket b spreads over S_j sub-lanes: slot
-    (b, u, s) reads sorted entry starts[j,b] + layer*S_j*C + u*C + s
-    (identity row 2*n2 past the count).  Regular windows (S_j=1, full K)
-    batch into one gather.  ``win_range=(lo, hi)`` restricts to a window
-    group (peak-HBM chunking)."""
+    order.  Ladder windows assign rank r (by descending measured count,
+    via _rank_order) S_r sub-lanes: slot (r, u, s) reads sorted entry
+    starts[j, order[r]] + (layer*S_r + u)*C + s (identity row 2*n2 past
+    the count).  Flat windows (S=1 everywhere) batch into one prefix
+    gather.  ``win_range=(lo, hi)`` restricts to a window group
+    (peak-HBM chunking)."""
     K, C = plan.K, plan.C
     lo, hi = win_range or (0, plan.W)
     mask = (1 << plan.shift) - 1
@@ -308,15 +371,14 @@ def _padded_src(plan: Msm4Plan, skeys, starts, counts, layer,
 
     pieces = {}
     if reg:
-        # regular windows are always the PREFIX [0, n_reg): digit spans
-        # shrink monotonically with the window index, so skew can only
-        # start at the top.  Plain slices here — the equivalent
-        # row-gather form (skeys[jnp.asarray(reg)]) MISCOMPILES on the
-        # axon TPU backend at 2^18-scale shapes (stride-patterned
-        # garbage, caught by the device-side consistency check).
+        # flat windows are always a contiguous run; plain slices — the
+        # equivalent row-gather form (skeys[jnp.asarray(reg)])
+        # MISCOMPILES on the axon TPU backend at 2^18-scale shapes
+        # (stride-patterned garbage, caught by the device-side
+        # consistency check).
         r0, r1 = reg[0], reg[-1] + 1
         assert reg == list(range(r0, r1)), (
-            "regular windows must be a contiguous prefix slice"
+            "flat windows must form a contiguous slice"
         )
         n_reg = len(reg)
         off = layer * C + s[None, None, :]
@@ -333,16 +395,25 @@ def _padded_src(plan: Msm4Plan, skeys, starts, counts, layer,
     for j in plan.skew_wins:
         if not (lo <= j < hi):
             continue
-        K_j, S_j = plan.win_shapes[j]
-        u = jnp.arange(S_j, dtype=jnp.int32)
-        off = layer * S_j * C + u[None, :, None] * C + s[None, None, :]
-        pos = starts[j, :K_j, None, None] + off
-        valid = off < counts[j, :K_j, None, None]
-        pos = jnp.clip(pos, 0, plan.n2 - 1)
-        g = jnp.take_along_axis(
-            skeys[j], pos.reshape(-1), axis=0
-        ).reshape(K_j, S_j, C)
-        pieces[j] = jnp.where(valid, g & mask, idrow).reshape(-1)
+        K_j, classes = plan.win_shapes[j]
+        order, _ = _rank_order(plan, counts, j)
+        segs = []
+        for S, ra, rb in _class_ranks(classes):
+            bks = order[ra:rb]                       # (m,) bucket ids
+            st = starts[j, :-1][bks]                 # (m,)
+            ct = counts[j][bks]                      # (m,)
+            u = jnp.arange(S, dtype=jnp.int32)
+            off = (layer * S + u[None, :, None]) * C + s[None, None, :]
+            pos = st[:, None, None] + off
+            valid = off < ct[:, None, None]
+            pos = jnp.clip(pos, 0, plan.n2 - 1)
+            g = jnp.take_along_axis(
+                skeys[j], pos.reshape(-1), axis=0
+            ).reshape(rb - ra, S, C)
+            segs.append(
+                jnp.where(valid, g & mask, idrow).reshape(-1)
+            )
+        pieces[j] = jnp.concatenate(segs) if len(segs) > 1 else segs[0]
 
     return jnp.concatenate(
         [pieces[j] for j in range(lo, hi) if j in pieces]
@@ -364,15 +435,17 @@ def _lane_needs(plan: Msm4Plan, counts, layer, win_range=None):
     for j in plan.skew_wins:
         if not (lo <= j < hi):
             continue
-        K_j, S_j = plan.win_shapes[j]
-        u = jnp.arange(S_j, dtype=jnp.int32)
-        nd = jnp.clip(
-            counts[j, :K_j, None]
-            - (layer * S_j + u[None, :]) * C,
-            0,
-            C,
-        )
-        pieces[j] = nd.reshape(-1)
+        K_j, classes = plan.win_shapes[j]
+        order, _ = _rank_order(plan, counts, j)
+        segs = []
+        for S, ra, rb in _class_ranks(classes):
+            ct = counts[j][order[ra:rb]]
+            u = jnp.arange(S, dtype=jnp.int32)
+            nd = jnp.clip(
+                ct[:, None] - (layer * S + u[None, :]) * C, 0, C
+            )
+            segs.append(nd.reshape(-1))
+        pieces[j] = jnp.concatenate(segs) if len(segs) > 1 else segs[0]
     return jnp.concatenate(
         [pieces[j] for j in range(lo, hi) if j in pieces]
     )
@@ -762,8 +835,7 @@ def _msm4_run(plan: Msm4Plan, F, ctx, scal8, pts_aff, use_pallas: bool):
     glo = 0
     gbytes = 0
     for j in range(plan.W):
-        K_j, S_j = plan.win_shapes[j]
-        wb = K_j * S_j * plan.C * 2 * plan.ew
+        wb = plan.win_lanes(plan.win_shapes[j]) * plan.C * 2 * plan.ew
         if gbytes and gbytes + wb > budget:
             groups.append((glo, j))
             glo, gbytes = j, 0
@@ -774,7 +846,7 @@ def _msm4_run(plan: Msm4Plan, F, ctx, scal8, pts_aff, use_pallas: bool):
         parts = []
         for lo, hi in groups:
             lanes_g = sum(
-                k * s for k, s in plan.win_shapes[lo:hi]
+                plan.win_lanes(ws) for ws in plan.win_shapes[lo:hi]
             )
             pad_g = -(-lanes_g // GL) * GL
             src = _padded_src(
@@ -805,18 +877,22 @@ def _msm4_run(plan: Msm4Plan, F, ctx, scal8, pts_aff, use_pallas: bool):
     max_reg = (
         jnp.max(counts[: len(reg)]) if reg else jnp.int32(0)
     )
-    skew_max = [
-        jnp.max(counts[j, : plan.win_shapes[j][0]])
-        for j in plan.skew_wins
-    ]
+    # ladder windows: rank r's capacity is S_r*C per layer — compare the
+    # descending-sorted counts against the static envelope
+    skew_over = []
+    for j in plan.skew_wins:
+        K_j, classes = plan.win_shapes[j]
+        srt = -jnp.sort(-counts[j, :K_j])
+        env = np.concatenate(
+            [np.full(m, s, dtype=np.int32) for s, m in classes]
+        )
+        skew_over.append((srt, jnp.asarray(env * plan.C)))
 
     def cond(state):
         layer, _ = state
         fire = layer * plan.C < max_reg
-        for j, mx in zip(plan.skew_wins, skew_max):
-            fire = fire | (
-                layer * plan.win_shapes[j][1] * plan.C < mx
-            )
+        for srt, cap in skew_over:
+            fire = fire | jnp.any(layer * cap < srt)
         return fire
 
     def body(state):
@@ -855,55 +931,130 @@ def _msm4_run(plan: Msm4Plan, F, ctx, scal8, pts_aff, use_pallas: bool):
          jnp.zeros((ew,), jnp.int32)]
     )
 
+    def fold_sub(blk, m, S):
+        """(m*S, 3ew) rank-major rows -> (m, 3ew) folded partials."""
+        if S == 1:
+            return blk
+        t = blk.reshape(m, S, 3 * ew).transpose(2, 0, 1)
+        tpt = _split3(t, ew)
+        cc = S
+        while cc > 1:
+            h = cc // 2
+            p1 = {k: v[..., :h] for k, v in tpt.items()}
+            p2 = {k: v[..., h : 2 * h] for k, v in tpt.items()}
+            sm = fp8q.proj_add_q(ops, p1, p2, b3)
+            if cc % 2:
+                tail = {k: v[..., 2 * h : cc] for k, v in tpt.items()}
+                sm = {k: jnp.concatenate([v, tail[k]], axis=-1)
+                      for k, v in sm.items()}
+                cc = h + 1
+            else:
+                cc = h
+            tpt = sm
+        return jnp.concatenate(
+            [tpt["x"][..., 0], tpt["y"][..., 0], tpt["z"][..., 0]],
+            axis=0,
+        ).T
+
     rows = []
     off = 0
     for j in range(plan.W):
-        K_j, S_j = plan.win_shapes[j]
-        span = K_j * S_j
+        K_j, classes = plan.win_shapes[j]
+        span = plan.win_lanes(plan.win_shapes[j])
         blk = partials[off : off + span]
         off += span
-        if S_j > 1:
-            t = blk.reshape(K_j, S_j, 3 * ew).transpose(2, 0, 1)
-            tpt = _split3(t, ew)
-            cc = S_j
-            while cc > 1:
-                h = cc // 2
-                p1 = {k: v[..., :h] for k, v in tpt.items()}
-                p2 = {k: v[..., h : 2 * h] for k, v in tpt.items()}
-                sm = fp8q.proj_add_q(ops, p1, p2, b3)
-                if cc % 2:
-                    tail = {k: v[..., 2 * h : cc]
-                            for k, v in tpt.items()}
-                    sm = {k: jnp.concatenate([v, tail[k]], axis=-1)
-                          for k, v in sm.items()}
-                    cc = h + 1
-                else:
-                    cc = h
-                tpt = sm
-            blk = jnp.concatenate(
-                [tpt["x"][..., 0], tpt["y"][..., 0], tpt["z"][..., 0]],
-                axis=0,
-            ).T  # (K_j, 3ew)
+        if classes == ((1, K_j),):
+            bucket_rows = blk
+        else:
+            # fold each capacity class, concat in rank order, then
+            # un-permute back to bucket order
+            segs = []
+            so = 0
+            for S, ra, rb in _class_ranks(classes):
+                m = rb - ra
+                segs.append(fold_sub(blk[so : so + m * S], m, S))
+                so += m * S
+            rank_rows = (
+                jnp.concatenate(segs, axis=0)
+                if len(segs) > 1 else segs[0]
+            )
+            _, inv = _rank_order(plan, counts, j)
+            bucket_rows = rank_rows[inv]
         if K_j < plan.K:
             fill = jnp.broadcast_to(
                 id_row, (plan.K - K_j, 3 * ew)
             )
-            blk = jnp.concatenate([blk, fill], axis=0)
-        rows.append(blk)
+            bucket_rows = jnp.concatenate(
+                [bucket_rows, fill], axis=0
+            )
+        rows.append(bucket_rows)
     partials_full = jnp.concatenate(rows, axis=0)
     return weighted_horner(plan, F, ctx, partials_full)
 
 
 @functools.lru_cache(maxsize=None)
+def calibrate_slanes_jit(curve_name: str, g2: bool, n: int, c: int = 0):
+    """(scal8) -> (W,) per-window max bucket counts, for building a
+    calibrated plan (see make_plan's calib).  One digits+sort+counts
+    pass — ~2% of an MSM."""
+    from ..utils.jit_utils import bound_jit
+
+    plan = make_plan(curve_name, g2, n, c)
+    F, _ = _field_ctx(curve_name, plan.fq2)
+    nbits = P.CURVES[curve_name].r.bit_length()
+
+    def run(scal8):
+        buckets, signs = msm8.signed_digits_from_limbs8(
+            scal8, nbits, plan.c
+        )
+        inf = jnp.zeros((buckets.shape[1],), bool)
+        keys = _build_keys(plan, buckets, signs, inf)
+        skeys = jnp.sort(keys, axis=1)
+        _, counts = _starts_counts(plan, skeys)
+        return -jnp.sort(-counts, axis=1)  # descending per window
+
+    return bound_jit([F], run)
+
+
+def calibrate_slanes(curve_name: str, g2: bool, n: int, scal8,
+                     c: int = 0) -> tuple:
+    """Per-window rank->sub-lane RLE envelopes for these scalars:
+    rank r gets S = next power of two covering its measured count (plus
+    drift margin) at capacity C.  Power-of-two quantization keeps the
+    envelope stable across witnesses of the same circuit — the wire
+    STRUCTURE (which wires are bits), not the values, drives the
+    distribution."""
+    plan = make_plan(curve_name, g2, n, c)
+    srt = np.asarray(calibrate_slanes_jit(curve_name, g2, n, c)(scal8))
+    out = []
+    for jw in range(plan.W):
+        K_j = plan.win_shapes[jw][0]
+        rle = []
+        for r in range(K_j):
+            cnt = int(srt[jw, r])
+            need = cnt + 6 * int(math.isqrt(cnt + 1)) + 8
+            S = _next_pow2(max(1, -(-need // plan.C)))
+            if rle and rle[-1][0] == S:
+                rle[-1][1] += 1
+            elif rle and rle[-1][0] < S:
+                # keep the envelope monotone non-increasing over ranks
+                rle[-1][1] += 1
+            else:
+                rle.append([S, 1])
+        out.append(tuple((s, m) for s, m in rle))
+    return tuple(out)
+
+
+@functools.lru_cache(maxsize=None)
 def msm4_jit(curve_name: str, g2: bool, n: int, c: int = 0,
-             use_pallas: bool | None = None):
+             use_pallas: bool | None = None, calib: tuple = ()):
     """(scal8 std-form (n, Lr) 8-bit limbs, pts_aff) -> Jacobian point.
 
     Same call surface as msm8.msm8_jit but the point count is a static
     plan parameter (capacity/padding shapes depend on it)."""
     from ..utils.jit_utils import bound_jit
 
-    plan = make_plan(curve_name, g2, n, c)
+    plan = make_plan(curve_name, g2, n, c, calib)
     F, ctx = _field_ctx(curve_name, plan.fq2)
     if use_pallas is None:
         use_pallas = True

@@ -493,11 +493,27 @@ class Groth16TPU(TpuSnarkBase):
             "ZECALE_USE_MSM8"
         )
 
-        def run_msm(g2, c, scal, query, n):
+        if not hasattr(self, "_msm4_calib"):
+            self._msm4_calib = {}
+
+        def run_msm(g2, c, scal, query, n, ckey=None):
             if use_msm4:
                 from ..ec import msm4
 
-                dev = msm4.msm4_jit(self.curve_name, g2, n)(scal, query)
+                # witness scalars are bit-heavy (NOT uniform): calibrate
+                # per-window sub-lane counts once per (circuit, query
+                # role) so small-bucket floods don't burn capacity
+                # layers; quantized counts are stable across witnesses
+                # of the same circuit.
+                calib = self._msm4_calib.get((ckey, n, g2))
+                if ckey is not None and calib is None:
+                    calib = msm4.calibrate_slanes(
+                        self.curve_name, g2, n, scal
+                    )
+                    self._msm4_calib[(ckey, n, g2)] = calib
+                dev = msm4.msm4_jit(
+                    self.curve_name, g2, n, calib=calib or ()
+                )(scal, query)
                 return msm8.unpack_jac_point8(self.curve_name, dev, g2=g2)
             chunks = max(1, n // unit)
             if chunks == 1:
@@ -510,14 +526,22 @@ class Groth16TPU(TpuSnarkBase):
                 )(scal, query)
             return msm8.unpack_jac_point8(self.curve_name, dev, g2=g2)
 
-        ev_a_h = run_msm(False, c_g1, asg8, dpk.a_query, dpk.n_g1)
-        ev_b1_h = run_msm(False, c_g1, asg8, dpk.b_g1_query, dpk.n_g1)
-        ev_b2_h = run_msm(True, c_g2, asg8_g2, dpk.b_g2_query, dpk.n_g2)
-        ev_l_h = run_msm(False, c_g1, l8, dpk.l_query, dpk.n_g1)
+        wkey = id(dpk)  # per-circuit witness-structure calibration key
+        ev_a_h = run_msm(False, c_g1, asg8, dpk.a_query, dpk.n_g1,
+                         ckey=("w", wkey))
+        ev_b1_h = run_msm(False, c_g1, asg8, dpk.b_g1_query, dpk.n_g1,
+                          ckey=("w", wkey))
+        ev_b2_h = run_msm(True, c_g2, asg8_g2, dpk.b_g2_query, dpk.n_g2,
+                          ckey=("w", wkey))
+        ev_l_h = run_msm(False, c_g1, l8, dpk.l_query, dpk.n_g1,
+                         ckey=("l", wkey))
         if use_mesh:
             c_h = msm8.default_window(r1cs.qap_degree)
             ev_h_h = self._sharded_h_msm(r1cs, dpk, dev, mesh, c_h)
         else:
+            # H coefficients are uniform-ish field elements — the
+            # analytic plan is right; no calibration (avoids an extra
+            # compiled plan)
             ev_h_h = run_msm(False, c_g1, h8, dpk.h_query, dpk.n_g1)
         t0 = mark("msm")
 
