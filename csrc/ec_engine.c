@@ -554,6 +554,22 @@ void fp_mul_arrays(const ext_ctx *e, u64 *out, const u64 *a, const u64 *b,
                    b + i * e->fp.nl);
 }
 
+void fp_add_arrays(const ext_ctx *e, u64 *out, const u64 *a, const u64 *b,
+                   long n)
+{
+    for (long i = 0; i < n; ++i)
+        fp_add(&e->fp, out + i * e->fp.nl, a + i * e->fp.nl,
+               b + i * e->fp.nl);
+}
+
+void fp_sub_arrays(const ext_ctx *e, u64 *out, const u64 *a, const u64 *b,
+                   long n)
+{
+    for (long i = 0; i < n; ++i)
+        fp_sub(&e->fp, out + i * e->fp.nl, a + i * e->fp.nl,
+               b + i * e->fp.nl);
+}
+
 void fp_mul_scalar_sub_mul(const ext_ctx *e, u64 *out, const u64 *a,
                            const u64 *b, const u64 *cc, const u64 *zinv,
                            long n)

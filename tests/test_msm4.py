@@ -161,3 +161,73 @@ def test_msm4_bit_heavy_witness_distribution(use_pallas):
         # variant keeps the fast suite inside its compile budget
         got2 = msm4.msm4(curve, scalars, pts, use_pallas=False)
         assert got2 == _host_msm(curve, scalars, pts)
+
+
+def _bit_heavy(rng, r, n):
+    out = []
+    for _ in range(n):
+        roll = rng.random()
+        if roll < 0.45:
+            out.append(1)
+        elif roll < 0.65:
+            out.append(0)
+        elif roll < 0.8:
+            out.append(rng.randrange(2, 64))
+        else:
+            out.append(rng.randrange(r))
+    return out
+
+
+def test_msm4_calibrated_guard_indexes_flat_windows():
+    """ADVICE r4 high regression: with a calibrated plan, window 0 is a
+    LADDER window, so reg_wins does not start at 0.  The overflow-layer
+    guard must (a) not re-trigger capacity layers for ladder-absorbed
+    window-0 floods, and (b) still catch a flood in the LAST flat window
+    (the positional prefix slice counts[:len(reg)] did neither)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    curve = "bls12-377"
+    r = P.CURVES[curve].r
+    n = 300
+    rng = random.Random(13)
+    Fr8 = fp8.field8(r)
+
+    calib_scalars = _bit_heavy(rng, r, n)
+    scal8_cal = Fr8.pack([s % r for s in calib_scalars], mont=False)
+    calib = msm4.calibrate_slanes(curve, False, n, scal8_cal)
+    plan = msm4.make_plan(curve, False, n, 0, calib)
+    assert plan.reg_wins and plan.reg_wins[0] != 0, (
+        "precondition: calibration must ladder window 0"
+    )
+
+    # (a) layer economy: running the SAME distribution the plan was
+    # calibrated for, no flat-window bucket exceeds capacity, so the
+    # while_loop guard over the flat rows must not fire at layer 1.
+    from zecale_tpu.ec.msm8 import signed_digits_from_limbs8
+
+    nbits = r.bit_length()
+    buckets, signs = signed_digits_from_limbs8(scal8_cal, nbits, plan.c)
+    inf = jnp.zeros((buckets.shape[1],), bool)
+    keys = msm4._build_keys(plan, buckets, signs, inf)
+    skeys = jnp.sort(keys, axis=1)
+    _, counts = msm4._starts_counts(plan, skeys)
+    reg_rows = np.asarray(counts)[np.asarray(plan.reg_wins)]
+    assert int(reg_rows.max()) <= plan.C, (
+        "ladder-absorbed flood must not leak into the flat-window guard"
+    )
+
+    # (b) dropped-points correctness: flood one bucket of the LAST flat
+    # window (same digit there for every point) under the window-0
+    # calibrated plan; the layer loop must absorb it.
+    last_flat = plan.reg_wins[-1]
+    base = 5 << (plan.c * last_flat)
+    flood_scalars = [base + (calib_scalars[i] & 1) for i in range(n)]
+    pts = _points(curve, n)
+    scal8_fl = Fr8.pack([s % r for s in flood_scalars], mont=False)
+    pts_dev = msm8.pack_points_affine8(curve, pts)
+    acc = msm4.msm4_jit(curve, False, n, 0, False, calib)(
+        scal8_fl, pts_dev
+    )
+    got = msm8.unpack_jac_point8(curve, acc)
+    assert got == _host_msm(curve, flood_scalars, pts)

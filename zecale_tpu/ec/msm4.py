@@ -874,9 +874,19 @@ def _msm4_run(plan: Msm4Plan, F, ctx, scal8, pts_aff, use_pallas: bool):
 
     partials = layer_partials(jnp.int32(0))
     reg = list(plan.reg_wins)
-    max_reg = (
-        jnp.max(counts[: len(reg)]) if reg else jnp.int32(0)
-    )
+    # guard over the FLAT windows' rows specifically: with a calibrated
+    # plan window 0 may be a ladder window, so reg_wins need not start at
+    # 0 — a positional prefix slice would wrongly include ladder-window
+    # flood counts (re-triggering the capacity-layer storm the rank
+    # ladder absorbs) and could miss the last flat window's overflow
+    # (ADVICE r4 high).  Flat windows are a contiguous run (asserted in
+    # _padded_src), so a plain slice suffices — row-gather forms
+    # miscompile on the axon backend.
+    if reg:
+        assert reg == list(range(reg[0], reg[-1] + 1))
+        max_reg = jnp.max(counts[reg[0] : reg[-1] + 1])
+    else:
+        max_reg = jnp.int32(0)
     # ladder windows: rank r's capacity is S_r*C per layer — compare the
     # descending-sorted counts against the static envelope
     skew_over = []

@@ -172,6 +172,11 @@ def _word_xor(pb: Protoboard, a: _Word, b: _Word) -> _Word:
         def fn(w, _x=x, _y=y, _v=v, _pb=pb):
             w[_v] = _pb.lc_val(w, _x) ^ _pb.lc_val(w, _y)
 
+        # NOTE: the native replay opcode for ("xor", ...) computes
+        # nonzero(a) XOR nonzero(b) (csrc/witness_engine.c kind 5) — it is
+        # only equivalent to the integer '^' above because x and y are
+        # boolean-constrained bit wires.  Do not emit this op tag for
+        # non-bit operands.
         pb.add_hook(fn, op=("xor", v, x, y))
         # c = x + y - 2xy  <=>  (2x)(y) = x + y - c
         pb.add_r1cs(x.scale(2), y, x + y - LC.of_var(v))

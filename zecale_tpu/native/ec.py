@@ -321,6 +321,30 @@ class NativeScalarField:
         )
         return out
 
+    def add_arrays(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        out = np.empty_like(a)
+        self.lib.fp_add_arrays(
+            self._ctx, _ptr(out), _ptr(a), _ptr(b),
+            ctypes.c_long(a.shape[0]),
+        )
+        return out
+
+    def sub_arrays(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        out = np.empty_like(a)
+        self.lib.fp_sub_arrays(
+            self._ctx, _ptr(out), _ptr(a), _ptr(b),
+            ctypes.c_long(a.shape[0]),
+        )
+        return out
+
+    def mul_const(self, a: np.ndarray, k: int) -> np.ndarray:
+        """Elementwise multiply by one plain-int scalar (Montgomery mul by
+        k*R, so the product stays in Montgomery form)."""
+        km = np.broadcast_to(
+            _u64s(k % self.r * self._R % self.r, self.nl), a.shape
+        ).copy()
+        return self.mul_arrays(a, km)
+
     def h_from_evals(self, a: np.ndarray, b: np.ndarray, c: np.ndarray,
                      zinv: int) -> np.ndarray:
         out = np.empty_like(a)

@@ -233,6 +233,11 @@ class HookProgram:
     closure loop (and the abandoned fork-replay experiment) as the
     witness engine behind Protoboard.generate_witness."""
 
+    #: op tags -> C opcodes.  Precondition for "xor": BOTH operand LCs must
+    #: evaluate to bits — the C opcode computes nonzero(a) XOR nonzero(b),
+    #: which matches the Python hooks' integer '^' only on {0, 1} (the one
+    #: current emitter, gadgets/blake2s.py, xors boolean-constrained bit
+    #: wires; ADVICE r4 low).
     KINDS = {"mul": 0, "div": 1, "invz": 2, "assign": 3, "unpack": 4,
              "xor": 5}
 

@@ -31,6 +31,12 @@ def _plan(n: int, r: int, inverse: bool):
     """Host-side FFT plan: bit-reversal permutation + per-stage twiddles
     (Montgomery form, packed)."""
     d = domain_host.domain(n, r)
+    assert getattr(d, "C", 1) == 1, (
+        "TPU FFT plans are radix-2 only; domains beyond the field's "
+        "2-adicity (extended coset-union domains, e.g. MNT6-298 above 2^17 "
+        "constraints) run on the native prover (Groth16Native) — see "
+        "KNOWN_GAPS"
+    )
     omega = d.omega_inv if inverse else d.omega
     mp = lb.mont_params(r)
     # bit reversal permutation

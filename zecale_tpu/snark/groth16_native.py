@@ -35,20 +35,87 @@ def available() -> bool:
 
 
 @functools.lru_cache(maxsize=None)
-def _coset_tables(n: int, r: int):
-    """(fwd, inv) coset scale arrays in Montgomery u64 form (cached)."""
+def _coset_tables(d):
+    """(fwd, inv) coset scale arrays in Montgomery u64 form, keyed by the
+    domain object (domain() caches one instance per (size, r))."""
+    r = d.r
     F = nec.NativeScalarField(r)
-    d = domain(n, r)
     g = d.coset_shift
     ginv = pow(g, r - 2, r)
     fwd, inv = [], []
     cf = ci = 1
-    for _ in range(n):
+    for _ in range(d.size):
         fwd.append(cf)
         inv.append(ci)
         cf = cf * g % r
         ci = ci * ginv % r
     return F.to_mont(fwd), F.to_mont(inv)
+
+
+@functools.lru_cache(maxsize=None)
+def _ext_tables(d):
+    """Per-block (shift^j)^i scale arrays (fwd, inv) for the extended-domain
+    native FFT, Montgomery u64 form, keyed by the domain object."""
+    r = d.r
+    F = nec.NativeScalarField(r)
+    fwd_blocks, inv_blocks = [], []
+    for j in range(d.C):
+        sj = pow(d.shift, j, r)
+        sji = pow(sj, r - 2, r)
+        fwd, inv = [], []
+        cf = ci = 1
+        for _ in range(d.m):
+            fwd.append(cf)
+            inv.append(ci)
+            cf = cf * sj % r
+            ci = ci * sji % r
+        fwd_blocks.append(F.to_mont(fwd))
+        inv_blocks.append(F.to_mont(inv))
+    return tuple(fwd_blocks), tuple(inv_blocks)
+
+
+def _native_fft(F: "nec.NativeScalarField", d, arr: np.ndarray,
+                inverse: bool) -> np.ndarray:
+    """In-place-style FFT/iFFT over domain `d` via the C engine: plain
+    radix-2 for basic domains; fold-scale + per-coset radix-2 for extended
+    domains (same composition as ExtendedRadix2Domain.fft/ifft)."""
+    r = d.r
+    if getattr(d, "C", 1) == 1:
+        if inverse:
+            F.fft_inplace(arr, d.omega_inv, sinv=pow(d.size, r - 2, r))
+        else:
+            F.fft_inplace(arr, d.omega)
+        return arr
+    m, C = d.m, d.C
+    sj_pows, sj_inv_pows = _ext_tables(d)
+    if not inverse:
+        blocks = []
+        for j in range(C):
+            acc = arr[:m].copy()
+            tju = 1
+            for u in range(1, C):
+                tju = tju * d.t[j] % r
+                acc = F.add_arrays(
+                    acc, F.mul_const(arr[u * m : (u + 1) * m], tju)
+                )
+            acc = F.mul_arrays(acc, sj_pows[j])
+            F.fft_inplace(acc, d.omega)
+            blocks.append(acc)
+    else:
+        minv = pow(m, r - 2, r)
+        ys = []
+        for j in range(C):
+            b = arr[j * m : (j + 1) * m].copy()
+            F.fft_inplace(b, d.omega_inv, sinv=minv)
+            ys.append(F.mul_arrays(b, sj_inv_pows[j]))
+        blocks = []
+        for u in range(C):
+            acc = F.mul_const(ys[0], d._vinv[u][0])
+            for j in range(1, C):
+                acc = F.add_arrays(acc, F.mul_const(ys[j], d._vinv[u][j]))
+            blocks.append(acc)
+    arr[:] = np.concatenate(blocks, axis=0)
+    return arr
 
 
 class Groth16Native:
@@ -148,18 +215,31 @@ class Groth16Native:
         az, bz, cz = _abc_evaluations_fast(r1cs, assignment)
         n = r1cs.qap_degree
         d = domain(n, r)
-        fsc, isc = _coset_tables(n, r)
+        fsc, isc = _coset_tables(d)
         arrs = []
         for v in (az, bz, cz):
             a = F.to_mont(v)
-            F.fft_inplace(a, d.omega_inv, sinv=pow(n, r - 2, r))
+            _native_fft(F, d, a, inverse=True)
             a = F.mul_arrays(a, fsc)
-            F.fft_inplace(a, d.omega)
+            _native_fft(F, d, a, inverse=False)
             arrs.append(a)
-        h_e = F.h_from_evals(
-            arrs[0], arrs[1], arrs[2], d.vanishing_on_coset_inverse()
+        # divide by Z on the coset: constant per coset block (one block for
+        # basic domains, C blocks for extended domains)
+        zinvs = d.vanishing_on_coset_blocks_inverse()
+        bs = d.block_size
+        h_e = np.concatenate(
+            [
+                F.h_from_evals(
+                    arrs[0][j * bs : (j + 1) * bs],
+                    arrs[1][j * bs : (j + 1) * bs],
+                    arrs[2][j * bs : (j + 1) * bs],
+                    zi,
+                )
+                for j, zi in enumerate(zinvs)
+            ],
+            axis=0,
         )
-        F.fft_inplace(h_e, d.omega_inv, sinv=pow(n, r - 2, r))
+        _native_fft(F, d, h_e, inverse=True)
         h_c = F.mul_arrays(h_e, isc)
         return F.from_mont(h_c)[: n - 1]
 

@@ -16,6 +16,7 @@ proofs, mirroring the reference's load-keypair-then-serve lifecycle
 from __future__ import annotations
 
 import dataclasses
+import itertools
 import os
 import random
 from typing import List, Optional, Sequence
@@ -215,6 +216,12 @@ class DevicePk8:
     b_g2_query: dict
     l_query: dict
     h_query: dict
+    #: stable identity for per-circuit calibration caches — unlike id(),
+    #: never reused after garbage collection (ADVICE r4 low)
+    token: int = 0
+
+
+_PK_TOKEN = itertools.count(1)
 
 
 def pack_pk8(curve_name: str, pk: Groth16ProvingKey, num_pub: int) -> DevicePk8:
@@ -254,6 +261,7 @@ def pack_pk8(curve_name: str, pk: Groth16ProvingKey, num_pub: int) -> DevicePk8:
         ),
         l_query=msm8.pack_points_affine8(curve_name, pad(pk.l_query, n_g1)),
         h_query=msm8.pack_points_affine8(curve_name, pad(pk.h_query, n_g1)),
+        token=next(_PK_TOKEN),
     )
 
 
@@ -262,9 +270,11 @@ class Groth16TPU(TpuSnarkBase):
 
     name = "GROTH16"
 
-    #: route proof MSMs through the round-2 engine (ec/msm8.py: device-side
-    #: digit extraction, sort-based log-depth bucket combining, fused
-    #: Pallas group law).  The 16-bit msm_tpu path remains as fallback.
+    #: MSM routing: a=0 curves (BLS12-377, BW6-761) run the round-4 dense
+    #: bucket-matrix engine (ec/msm4.py) with per-circuit sub-lane
+    #: calibration; MNT curves (a != 0) and ZECALE_USE_MSM8=1 fall back to
+    #: the round-2 sort-and-compact engine (ec/msm8.py); use_msm8=False
+    #: drops to the 16-bit msm_tpu path (see prove()).
     use_msm8 = True
 
     # ------------------------------------------------------------------
@@ -526,7 +536,7 @@ class Groth16TPU(TpuSnarkBase):
                 )(scal, query)
             return msm8.unpack_jac_point8(self.curve_name, dev, g2=g2)
 
-        wkey = id(dpk)  # per-circuit witness-structure calibration key
+        wkey = dpk.token  # per-circuit witness-structure calibration key
         ev_a_h = run_msm(False, c_g1, asg8, dpk.a_query, dpk.n_g1,
                          ckey=("w", wkey))
         ev_b1_h = run_msm(False, c_g1, asg8, dpk.b_g1_query, dpk.n_g1,

@@ -210,9 +210,11 @@ class Pghr13:
             hp_coeffs[i] = (
                 hp_coeffs[i] + d2 * a_poly[i] + d1 * b_poly[i]
             ) % r
-        # + d1 d2 Z(x) = d1 d2 (x^n - 1)
-        hp_coeffs[0] = (hp_coeffs[0] - d1 * d2 - d3) % r
-        hp_coeffs[d.size] = (hp_coeffs[d.size] + d1 * d2) % r
+        # + d1 d2 Z(x) (sparse: (x^n - 1) for basic domains, the coset-union
+        # product for extended domains) - d3
+        for ze, zc in d.z_coefficients():
+            hp_coeffs[ze] = (hp_coeffs[ze] + d1 * d2 % r * zc) % r
+        hp_coeffs[0] = (hp_coeffs[0] - d3) % r
 
         def msm1(queries, idx: int):
             return self._msm_g1(coeffs, [q[idx] for q in queries])

@@ -144,11 +144,9 @@ class R1CS:
         a_cs = d.coset_fft(a_coeffs)
         b_cs = d.coset_fft(b_coeffs)
         c_cs = d.coset_fft(c_coeffs)
-        zinv = d.vanishing_on_coset_inverse()
-        h_cs = [
-            (ai * bi - ci) % r * zinv % r
-            for ai, bi, ci in zip(a_cs, b_cs, c_cs)
-        ]
+        h_cs = d.divide_by_z_on_coset(
+            [(ai * bi - ci) % r for ai, bi, ci in zip(a_cs, b_cs, c_cs)]
+        )
         h = d.coset_ifft(h_cs)
         # degree of H is at most d-2; the top coefficient must vanish
         assert h[-1] == 0, "H(x) has unexpected degree (unsatisfied R1CS?)"
