@@ -697,8 +697,12 @@ def _stack_add(ops, parts_a, parts_b, b3):
     ]
 
 
-def weighted_horner(plan: Msm4Plan, F, ctx, partials_cat):
-    """(W*K, 3ew) lazy bucket partials -> final Jacobian point.
+def weighted_horner(plan: Msm4Plan, F, ctx, partials_cat,
+                    as_projective: bool = False):
+    """(W*K, 3ew) lazy bucket partials -> final Jacobian point (or, with
+    ``as_projective``, the uncanonicalized lazy projective accumulator of
+    shape (ew, 1) per coordinate — the cross-device combine form used by
+    parallel/sharded.msm4_sharded).
 
     sum_b b*B_b per window via two high-to-low suffix scans (chunked
     b = hi*GA + g + 1), then the Horner window fold as a masked-parallel
@@ -787,7 +791,15 @@ def weighted_horner(plan: Msm4Plan, F, ctx, partials_cat):
             cc = h
         acc = s
 
-    # canonicalize + projective -> Jacobian (X*Z, Y*Z^2, Z)
+    if as_projective:
+        return {k: v[..., :1] for k, v in acc.items()}
+    return finalize_projective(plan, F, ctx, acc)
+
+
+def finalize_projective(plan: Msm4Plan, F, ctx, acc):
+    """Lazy projective accumulator (ew, 1) -> canonical Jacobian point
+    (X*Z, Y*Z^2, Z), the engine's output form."""
+    ops = _make_ops(plan, F.tc, ctx.nr_t if ctx else None)
     x = ops.canon(acc["x"][..., :1], 4)
     y = ops.canon(acc["y"][..., :1], 4)
     z = ops.canon(acc["z"][..., :1], 4)
@@ -811,7 +823,8 @@ def weighted_horner(plan: Msm4Plan, F, ctx, partials_cat):
 # ---------------------------------------------------------------------------
 
 
-def _msm4_run(plan: Msm4Plan, F, ctx, scal8, pts_aff, use_pallas: bool):
+def _msm4_run(plan: Msm4Plan, F, ctx, scal8, pts_aff, use_pallas: bool,
+              as_projective: bool = False):
     nbits = P.CURVES[plan.curve_name].r.bit_length()
     buckets, signs = msm8.signed_digits_from_limbs8(
         scal8, nbits, plan.c
@@ -875,16 +888,25 @@ def _msm4_run(plan: Msm4Plan, F, ctx, scal8, pts_aff, use_pallas: bool):
     partials = layer_partials(jnp.int32(0))
     reg = list(plan.reg_wins)
     # guard over the FLAT windows' rows specifically: with a calibrated
-    # plan window 0 may be a ladder window, so reg_wins need not start at
-    # 0 — a positional prefix slice would wrongly include ladder-window
-    # flood counts (re-triggering the capacity-layer storm the rank
-    # ladder absorbs) and could miss the last flat window's overflow
-    # (ADVICE r4 high).  Flat windows are a contiguous run (asserted in
-    # _padded_src), so a plain slice suffices — row-gather forms
-    # miscompile on the axon backend.
+    # plan window 0 (or any middle window) may be a ladder window, so
+    # reg_wins need not be a prefix — a positional prefix slice would
+    # wrongly include ladder-window flood counts (re-triggering the
+    # capacity-layer storm the rank ladder absorbs) and could miss later
+    # flat windows' overflow (ADVICE r4 high).  Take the max over the
+    # contiguous RUNS of flat windows (static slices — row-gather forms
+    # miscompile on the axon backend).
     if reg:
-        assert reg == list(range(reg[0], reg[-1] + 1))
-        max_reg = jnp.max(counts[reg[0] : reg[-1] + 1])
+        runs = []
+        lo = prev = reg[0]
+        for j in reg[1:]:
+            if j != prev + 1:
+                runs.append((lo, prev + 1))
+                lo = j
+            prev = j
+        runs.append((lo, prev + 1))
+        max_reg = jnp.max(
+            jnp.stack([jnp.max(counts[a:b]) for a, b in runs])
+        )
     else:
         max_reg = jnp.int32(0)
     # ladder windows: rank r's capacity is S_r*C per layer — compare the
@@ -999,7 +1021,8 @@ def _msm4_run(plan: Msm4Plan, F, ctx, scal8, pts_aff, use_pallas: bool):
             )
         rows.append(bucket_rows)
     partials_full = jnp.concatenate(rows, axis=0)
-    return weighted_horner(plan, F, ctx, partials_full)
+    return weighted_horner(plan, F, ctx, partials_full,
+                           as_projective=as_projective)
 
 
 @functools.lru_cache(maxsize=None)

@@ -150,6 +150,88 @@ def msm8_sharded(
     return bound_jit([crv.F], fn)(scal8, pts_aff)
 
 
+def msm4_sharded(
+    curve_name: str,
+    mesh: Mesh,
+    scal8,
+    pts_aff: dict,
+    g2: bool = False,
+    c: int = 0,
+    calib: tuple = (),
+    use_pallas: bool | None = None,
+):
+    """Distributed round-4/5 dense-bucket MSM (ec/msm4.py): the point axis
+    is sharded, each device runs the full dense bucket-matrix pipeline on
+    its shard (per-shard plan — identical across devices since shards are
+    equal), lazy PROJECTIVE partials are combined with an all_gather +
+    log-tree of complete lazy adds over ICI, canonicalized once.  Returns
+    a replicated Jacobian point in the engine's usual output form.
+
+    ``calib``: per-window sub-lane envelopes measured on the GLOBAL
+    scalars (per-shard bucket counts are bounded by the global counts, so
+    the global envelope is safe on every shard)."""
+    from ..ec import msm4
+    from ..ff import fp8q
+    from ..utils.jit_utils import bound_jit
+
+    D = mesh.devices.size
+    n = pts_aff["x"].shape[0]
+    assert n % D == 0, "point count must divide the mesh"
+    plan = msm4.make_plan(curve_name, g2, n // D, c, calib)
+    F, ctx = msm4._field_ctx(curve_name, plan.fq2)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() != "cpu"
+
+    def local(scal_l, pts_l):
+        acc = msm4._msm4_run(
+            plan, F, ctx, scal_l, pts_l, use_pallas, as_projective=True
+        )
+        # (D, ew, 1) per coordinate -> lanes-last for the tree
+        g = {
+            k: jnp.moveaxis(jax.lax.all_gather(v, AXIS), 0, -1)[..., 0, :]
+            for k, v in acc.items()
+        }
+        ops = msm4._make_ops(plan, F.tc, ctx.nr_t if ctx else None)
+        b3 = msm4._b3_of(plan, ctx)
+        cc = D
+        while cc > 1:
+            h = cc // 2
+            p1 = {k: v[..., :h] for k, v in g.items()}
+            p2 = {k: v[..., h : 2 * h] for k, v in g.items()}
+            s = fp8q.proj_add_q(ops, p1, p2, b3)
+            if cc % 2:
+                tail = {k: v[..., 2 * h : cc] for k, v in g.items()}
+                s = {
+                    k: jnp.concatenate([v, tail[k]], axis=-1)
+                    for k, v in s.items()
+                }
+                cc = h + 1
+            else:
+                cc = h
+            g = s
+        return msm4.finalize_projective(plan, F, ctx, g)
+
+    pt_in = {
+        k: PS(AXIS, *([None] * (v.ndim - 1))) for k, v in pts_aff.items()
+    }
+    if plan.fq2:
+        out_specs = {
+            "x": PS(None, None), "y": PS(None, None), "z": PS(None, None)
+        }
+    else:
+        out_specs = {"x": PS(None), "y": PS(None), "z": PS(None)}
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(PS(AXIS, None), pt_in),
+        out_specs=out_specs,
+        check_rep=False,
+    )
+    binders = [F] + ([ctx] if ctx else [])
+    return bound_jit(binders, fn)(scal8, pts_aff)
+
+
 def prove_core_sharded8(
     curve_name: str,
     mesh: Mesh,

@@ -405,10 +405,18 @@ class Groth16TPU(TpuSnarkBase):
             qrev = {k: v[rev] for k, v in dpk.h_query.items()}
             object.__setattr__(dpk, "_h_query_rev", (deg, qrev))
         qrev = dpk._h_query_rev[1]
-        out = sharded.msm8_sharded(
-            self.curve_name, mesh, h8, qrev, c,
-            use_pallas=None,
-        )
+        # round-5: the mesh route now runs the dense-bucket msm4 engine
+        # for the a=0 family (VERDICT r4 item 5 — it previously stayed on
+        # the 3-6x slower msm8 engine); MNT keeps msm8 (KNOWN_GAPS #10)
+        if P.CURVES[self.curve_name].a == 0 and not os.environ.get(
+            "ZECALE_USE_MSM8"
+        ):
+            out = sharded.msm4_sharded(self.curve_name, mesh, h8, qrev)
+        else:
+            out = sharded.msm8_sharded(
+                self.curve_name, mesh, h8, qrev, c,
+                use_pallas=None,
+            )
         return msm8.unpack_jac_point8(self.curve_name, out)
 
     def _prove8(
