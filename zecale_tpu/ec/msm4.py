@@ -51,6 +51,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
+from os import environ as _os_env
 
 import jax
 import jax.numpy as jnp
@@ -197,8 +198,12 @@ def make_plan(curve_name: str, g2: bool, n: int, c: int = 0,
     # slack; multiple of the strip width
     avg = max(1, n2 // K)
     # B0 trades grid-step count against VMEM (input block + double
-    # buffer); the L=96 add body leaves only ~1 MB of stack headroom
-    B0 = 32 if ew <= 48 else 8
+    # buffer); the L=96 add body leaves only ~1 MB of stack headroom —
+    # B0=8 put the calibrated BW6 witness-MSM kernel 236 KB over the
+    # 16 MB scoped-vmem limit (AOT compile failure found by the round-5
+    # batch-8 e2e; round 4 never ran this path), so wide coordinates use
+    # B0=4 (the input double-buffer halves to ~390 KB)
+    B0 = 32 if ew <= 48 else 4
     C = avg + avg // 8 + 6 * int(math.isqrt(avg)) + 8
     C = -(-C // B0) * B0
     G = 8
@@ -823,27 +828,13 @@ def finalize_projective(plan: Msm4Plan, F, ctx, acc):
 # ---------------------------------------------------------------------------
 
 
-def _msm4_run(plan: Msm4Plan, F, ctx, scal8, pts_aff, use_pallas: bool,
-              as_projective: bool = False):
-    nbits = P.CURVES[plan.curve_name].r.bit_length()
-    buckets, signs = msm8.signed_digits_from_limbs8(
-        scal8, nbits, plan.c
+def _groups_of(plan: Msm4Plan):
+    """Window groups whose bucket matrices stay under the HBM budget:
+    the matrix for ALL windows at once is multi-GB for BW6-761 (5.5 GB
+    at n=2^18, plus the gather output before the transpose)."""
+    budget = int(
+        _os_env.get("ZECALE_MSM4_GROUP_BUDGET", str(768 << 20))
     )
-    keys = _build_keys(plan, buckets, signs, pts_aff["inf"])
-    skeys = jnp.sort(keys, axis=1)
-    starts, counts = _starts_counts(plan, skeys)
-    table = _table_int8(plan, F, pts_aff)
-    reduce_fn = bucket_reduce_pallas if use_pallas else bucket_reduce_jnp
-
-    ops = _make_ops(plan, F.tc, ctx.nr_t if ctx else None)
-    b3 = _b3_of(plan, ctx)
-
-    # window-group chunking bounds peak HBM: the bucket matrix for ALL
-    # windows at once is multi-GB for BW6-761 (5.5 GB at n=2^18, plus
-    # the gather output before the transpose) — groups of windows whose
-    # matrices stay under ~3/4 GB run through the kernel sequentially,
-    # and XLA's liveness reuses the buffers across groups.
-    budget = 768 << 20
     groups = []
     glo = 0
     gbytes = 0
@@ -854,104 +845,120 @@ def _msm4_run(plan: Msm4Plan, F, ctx, scal8, pts_aff, use_pallas: bool,
             glo, gbytes = j, 0
         gbytes += wb
     groups.append((glo, plan.W))
+    return groups
 
-    def layer_partials(layer):
-        parts = []
-        for lo, hi in groups:
-            lanes_g = sum(
-                plan.win_lanes(ws) for ws in plan.win_shapes[lo:hi]
-            )
-            pad_g = -(-lanes_g // GL) * GL
-            src = _padded_src(
-                plan, skeys, starts, counts, layer, (lo, hi)
-            )
-            mat = (
-                table[src]
-                .reshape(lanes_g, plan.C, 2 * plan.ew)
-                .transpose(1, 2, 0)
-            )
-            needs = _lane_needs(plan, counts, layer, (lo, hi))
-            if pad_g != lanes_g:
-                # pad lanes with identity (all-zero) columns
-                mat = jnp.pad(
-                    mat, ((0, 0), (0, 0), (0, pad_g - lanes_g))
-                )
-                needs = jnp.pad(needs, (0, pad_g - lanes_g))
-            block_need = jnp.max(
-                needs.reshape(-1, GL), axis=1
-            ).astype(jnp.int32)
-            parts.append(
-                reduce_fn(plan, F, ctx, mat, block_need)[:lanes_g]
-            )
-        return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
 
-    partials = layer_partials(jnp.int32(0))
-    reg = list(plan.reg_wins)
-    # guard over the FLAT windows' rows specifically: with a calibrated
-    # plan window 0 (or any middle window) may be a ladder window, so
-    # reg_wins need not be a prefix — a positional prefix slice would
-    # wrongly include ladder-window flood counts (re-triggering the
-    # capacity-layer storm the rank ladder absorbs) and could miss later
-    # flat windows' overflow (ADVICE r4 high).  Take the max over the
-    # contiguous RUNS of flat windows (static slices — row-gather forms
-    # miscompile on the axon backend).
-    if reg:
-        runs = []
-        lo = prev = reg[0]
-        for j in reg[1:]:
-            if j != prev + 1:
-                runs.append((lo, prev + 1))
-                lo = j
-            prev = j
-        runs.append((lo, prev + 1))
-        max_reg = jnp.max(
-            jnp.stack([jnp.max(counts[a:b]) for a, b in runs])
+def _prologue(plan: Msm4Plan, scal8, pts_aff):
+    nbits = P.CURVES[plan.curve_name].r.bit_length()
+    buckets, signs = msm8.signed_digits_from_limbs8(
+        scal8, nbits, plan.c
+    )
+    keys = _build_keys(plan, buckets, signs, pts_aff["inf"])
+    skeys = jnp.sort(keys, axis=1)
+    starts, counts = _starts_counts(plan, skeys)
+    return skeys, starts, counts
+
+
+def _reduce_fn_of(use_pallas: bool):
+    if _os_env.get("ZECALE_MSM4_JNP"):
+        use_pallas = False  # debug: bisect kernel vs pipeline on chip
+    return bucket_reduce_pallas if use_pallas else bucket_reduce_jnp
+
+
+def _layer_partials(plan: Msm4Plan, F, ctx, skeys, starts, counts, table,
+                    layer, reduce_fn, groups):
+    """One capacity layer's (lanes, 3ew) lazy bucket partials."""
+    parts = []
+    for lo, hi in groups:
+        lanes_g = sum(
+            plan.win_lanes(ws) for ws in plan.win_shapes[lo:hi]
         )
-    else:
-        max_reg = jnp.int32(0)
-    # ladder windows: rank r's capacity is S_r*C per layer — compare the
-    # descending-sorted counts against the static envelope
-    skew_over = []
+        pad_g = -(-lanes_g // GL) * GL
+        src = _padded_src(
+            plan, skeys, starts, counts, layer, (lo, hi)
+        )
+        if parts:
+            # SERIALIZE group computations: groups are data-independent,
+            # and when several ~0.8 GB gather outputs coexist the axon
+            # backend can corrupt an earlier group's bucket matrix
+            # (found by the round-5 batch-8 e2e: every stage is
+            # value-correct in isolation).  Tying each group's src to
+            # the previous group's partials forces sequential
+            # scheduling and lets XLA free the big buffers between
+            # groups — also the intended peak-HBM behavior of the
+            # chunking.
+            src, _ = jax.lax.optimization_barrier((src, parts[-1]))
+        mat = (
+            table[src]
+            .reshape(lanes_g, plan.C, 2 * plan.ew)
+            .transpose(1, 2, 0)
+        )
+        needs = _lane_needs(plan, counts, layer, (lo, hi))
+        if pad_g != lanes_g:
+            # pad lanes with identity (all-zero) columns
+            mat = jnp.pad(
+                mat, ((0, 0), (0, 0), (0, pad_g - lanes_g))
+            )
+            needs = jnp.pad(needs, (0, pad_g - lanes_g))
+        block_need = jnp.max(
+            needs.reshape(-1, GL), axis=1
+        ).astype(jnp.int32)
+        parts.append(
+            reduce_fn(plan, F, ctx, mat, block_need)[:lanes_g]
+        )
+    return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+
+def _flat_runs(plan: Msm4Plan):
+    """Contiguous runs of flat windows (reg_wins need not be a prefix
+    with calibrated plans — ADVICE r4 high)."""
+    reg = list(plan.reg_wins)
+    if not reg:
+        return []
+    runs = []
+    lo = prev = reg[0]
+    for j in reg[1:]:
+        if j != prev + 1:
+            runs.append((lo, prev + 1))
+            lo = j
+        prev = j
+    runs.append((lo, prev + 1))
+    return runs
+
+
+def _skew_envs(plan: Msm4Plan):
+    """Static per-skew-window (j, K_j, env*C) capacity envelopes."""
+    out = []
     for j in plan.skew_wins:
         K_j, classes = plan.win_shapes[j]
-        srt = -jnp.sort(-counts[j, :K_j])
         env = np.concatenate(
             [np.full(m, s, dtype=np.int32) for s, m in classes]
         )
-        skew_over.append((srt, jnp.asarray(env * plan.C)))
+        out.append((j, K_j, env * plan.C))
+    return out
 
-    def cond(state):
-        layer, _ = state
-        fire = layer * plan.C < max_reg
-        for srt, cap in skew_over:
-            fire = fire | jnp.any(layer * cap < srt)
-        return fire
 
-    def body(state):
-        layer, acc = state
-        extra = layer_partials(layer)
-        a = _split3(acc.T, plan.ew)
-        b = _split3(extra.T, plan.ew)
-        comb = fp8q.proj_add_q(ops, a, b, b3)
-        cat = jnp.concatenate(
-            [comb["x"], comb["y"], comb["z"]], axis=0
-        ).T
-        return layer + 1, cat
+def layers_needed_host(plan: Msm4Plan, counts_np: np.ndarray,
+                       layer: int) -> bool:
+    """Host replica of the overflow-layer condition: does `layer` still
+    have occupied slots?  Flat windows: any bucket count > layer*C;
+    ladder windows: rank r's count > layer*S_r*C."""
+    for a, b in _flat_runs(plan):
+        if counts_np[a:b].max(initial=0) > layer * plan.C:
+            return True
+    for j, K_j, cap in _skew_envs(plan):
+        srt = -np.sort(-counts_np[j, :K_j])
+        if (layer * cap.astype(np.int64) < srt).any():
+            return True
+    return False
 
-    import os as _os
 
-    if _os.environ.get("ZECALE_MSM4_NO_LAYERS"):
-        # benchmarking escape hatch: skip the adversarial-overflow layer
-        # loop (uniform scalars never take it; see plan capacity margins)
-        pass
-    else:
-        _, partials = jax.lax.while_loop(
-            cond, body, (jnp.int32(1), partials)
-        )
-
-    # fold each skewed window's sub-lanes to one partial per bucket,
-    # then assemble the uniform (W*K, 3ew) bucket array (window-major)
-    # the weighted reduction expects; unused buckets = identity rows.
+def _fold_assemble(plan: Msm4Plan, F, ctx, partials, counts):
+    """Fold each skewed window's sub-lanes to one partial per bucket,
+    then assemble the uniform (W*K, 3ew) bucket array (window-major)
+    the weighted reduction expects; unused buckets = identity rows."""
+    ops = _make_ops(plan, F.tc, ctx.nr_t if ctx else None)
+    b3 = _b3_of(plan, ctx)
     ew = plan.ew
     one_m = F.tc["one_mont"].reshape(-1)
     one_coord = (
@@ -1020,7 +1027,77 @@ def _msm4_run(plan: Msm4Plan, F, ctx, scal8, pts_aff, use_pallas: bool,
                 [bucket_rows, fill], axis=0
             )
         rows.append(bucket_rows)
-    partials_full = jnp.concatenate(rows, axis=0)
+    return jnp.concatenate(rows, axis=0)
+
+
+def _combine_partials(plan: Msm4Plan, F, ctx, acc, extra):
+    ops = _make_ops(plan, F.tc, ctx.nr_t if ctx else None)
+    b3 = _b3_of(plan, ctx)
+    a = _split3(acc.T, plan.ew)
+    b = _split3(extra.T, plan.ew)
+    comb = fp8q.proj_add_q(ops, a, b, b3)
+    return jnp.concatenate(
+        [comb["x"], comb["y"], comb["z"]], axis=0
+    ).T
+
+
+def _msm4_run(plan: Msm4Plan, F, ctx, scal8, pts_aff, use_pallas: bool,
+              as_projective: bool = False):
+    """Single-graph pipeline WITH the in-graph lax.while_loop overflow
+    layers.  Used by the SHARDED path (host loops cannot live inside
+    shard_map) and the CPU tests; the single-chip production entry
+    (msm4_jit) instead drives the layers from the HOST, because an
+    unexecuted while_loop body corrupts the base partials on the axon
+    TPU backend (round-5 finding — see msm4_jit)."""
+    skeys, starts, counts = _prologue(plan, scal8, pts_aff)
+    table = _table_int8(plan, F, pts_aff)
+    reduce_fn = _reduce_fn_of(use_pallas)
+    groups = _groups_of(plan)
+
+    partials = _layer_partials(
+        plan, F, ctx, skeys, starts, counts, table, jnp.int32(0),
+        reduce_fn, groups,
+    )
+
+    runs = _flat_runs(plan)
+    if runs:
+        max_reg = jnp.max(
+            jnp.stack([jnp.max(counts[a:b]) for a, b in runs])
+        )
+    else:
+        max_reg = jnp.int32(0)
+    # ladder windows: rank r's capacity is S_r*C per layer — compare the
+    # descending-sorted counts against the static envelope
+    skew_over = []
+    for j, K_j, cap in _skew_envs(plan):
+        srt = -jnp.sort(-counts[j, :K_j])
+        skew_over.append((srt, jnp.asarray(cap)))
+
+    def cond(state):
+        layer, _ = state
+        fire = layer * plan.C < max_reg
+        for srt, cap in skew_over:
+            fire = fire | jnp.any(layer * cap < srt)
+        return fire
+
+    def body(state):
+        layer, acc = state
+        extra = _layer_partials(
+            plan, F, ctx, skeys, starts, counts, table, layer,
+            reduce_fn, groups,
+        )
+        return layer + 1, _combine_partials(plan, F, ctx, acc, extra)
+
+    if _os_env.get("ZECALE_MSM4_NO_LAYERS"):
+        # benchmarking escape hatch: skip the adversarial-overflow layer
+        # loop (uniform scalars never take it; see plan capacity margins)
+        pass
+    else:
+        _, partials = jax.lax.while_loop(
+            cond, body, (jnp.int32(1), partials)
+        )
+
+    partials_full = _fold_assemble(plan, F, ctx, partials, counts)
     return weighted_horner(plan, F, ctx, partials_full,
                            as_projective=as_projective)
 
@@ -1084,7 +1161,20 @@ def msm4_jit(curve_name: str, g2: bool, n: int, c: int = 0,
     """(scal8 std-form (n, Lr) 8-bit limbs, pts_aff) -> Jacobian point.
 
     Same call surface as msm8.msm8_jit but the point count is a static
-    plan parameter (capacity/padding shapes depend on it)."""
+    plan parameter (capacity/padding shapes depend on it).
+
+    HOST-ORCHESTRATED layers (round 5): the base-layer partials + bucket
+    counts run in one jit; the adversarial overflow-layer decision runs
+    on the HOST from the (W, K) counts (layers_needed_host — the exact
+    cond the sharded path's lax.while_loop evaluates in-graph), with
+    extra layers dispatched as separate lazily-compiled jits; a second
+    jit does the sub-lane fold + weighted Horner.  Rationale: on the
+    axon TPU backend an in-graph while_loop whose body embeds the
+    4-group gather/reduce graphs CORRUPTS the base partials even when
+    the loop body never executes (round-5 batch-8 e2e produced an
+    invalid proof; every stage value-checked correct in isolation).
+    The split also drops the unexecuted layer graphs from the compile
+    and lets the common no-overflow path stay small."""
     from ..utils.jit_utils import bound_jit
 
     plan = make_plan(curve_name, g2, n, c, calib)
@@ -1092,11 +1182,72 @@ def msm4_jit(curve_name: str, g2: bool, n: int, c: int = 0,
     if use_pallas is None:
         use_pallas = True
     binders = [F] + ([ctx] if ctx else [])
+    groups = _groups_of(plan)
+    reduce_fn = _reduce_fn_of(use_pallas)
 
-    def run(scal8, pts_aff):
-        return _msm4_run(plan, F, ctx, scal8, pts_aff, use_pallas)
+    def counts_run(scal8, pts_aff):
+        _, _, counts = _prologue(plan, scal8, pts_aff)
+        return counts
 
-    return bound_jit(binders, run)
+    def group_run(scal8, pts_aff, layer, win_range):
+        skeys, starts, counts = _prologue(plan, scal8, pts_aff)
+        table = _table_int8(plan, F, pts_aff)
+        return _layer_partials(
+            plan, F, ctx, skeys, starts, counts, table, layer,
+            reduce_fn, [win_range],
+        )
+
+    def epilogue(counts, *parts):
+        partials = (
+            jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+        )
+        pf = _fold_assemble(plan, F, ctx, partials, counts)
+        return weighted_horner(plan, F, ctx, pf)
+
+    counts_j = bound_jit(binders, counts_run)
+    grp_j = {
+        wr: bound_jit(
+            binders,
+            functools.partial(
+                lambda s, p, l, wr=None: group_run(s, p, l, wr), wr=wr
+            ),
+        )
+        for wr in groups
+    }
+    epi_j = bound_jit(binders, epilogue)
+    lazy = {}
+
+    def call(scal8, pts_aff):
+        # one DISPATCH per window group: each group's gather+reduce runs
+        # as the isolated graph that is stable on the backend; a fused
+        # multi-group graph intermittently corrupts one group's bucket
+        # matrix (which group varies with graph structure — round-5
+        # batch-8 e2e invalid-proof debugging).  The small jit-boundary
+        # cost (re-running digits+sort per group, ~15 ms each) is noise
+        # against the reduce, and per-group dispatch also bounds live
+        # HBM to one group's matrix.
+        counts = counts_j(scal8, pts_aff)
+        parts = [
+            grp_j[wr](scal8, pts_aff, jnp.int32(0)) for wr in groups
+        ]
+        counts_np = np.asarray(counts)  # (W, K) i32 — tiny host pull
+        layer = 1
+        while layers_needed_host(plan, counts_np, layer):
+            for gi, wr in enumerate(groups):
+                key = ("comb", parts[gi].shape[0])
+                if key not in lazy:
+                    lazy[key] = bound_jit(
+                        binders,
+                        lambda a, b: _combine_partials(
+                            plan, F, ctx, a, b
+                        ),
+                    )
+                extra = grp_j[wr](scal8, pts_aff, jnp.int32(layer))
+                parts[gi] = lazy[key](parts[gi], extra)
+            layer += 1
+        return epi_j(counts, *parts)
+
+    return call
 
 
 def msm4(curve_name: str, scalars, points, g2: bool = False, c: int = 0,
