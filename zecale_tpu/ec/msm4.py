@@ -587,12 +587,15 @@ def bucket_reduce_pallas(plan: Msm4Plan, F, ctx, mat_int8, block_need):
                 axis=0,
             )
 
-        # strip-skip pays only for wide coordinates (BW6/G2: compute per
-        # strip dwarfs the conditional's pipeline cost; measured a net
-        # LOSS for L=48 G1)
+        # strip-skip: round 4 measured a net loss for L=48 G1 and gated
+        # it to ew >= 96; re-measured in round 5 on the per-group
+        # host-orchestrated pipeline it WINS at L=48 too (reduce stage
+        # 1217 -> 946 ms on the BLS n=2^18 bench plan), so it now
+        # defaults on everywhere (ZECALE_MSM4_SKIP_EW re-tunes).
+        skip_ew = int(_os_env.get("ZECALE_MSM4_SKIP_EW", "48"))
         skip_pred = (
             (j * B0 < need_ref[pl.program_id(0)])
-            if ew >= 96 else (j >= 0)
+            if ew >= skip_ew else (j >= 0)
         )
 
         @pl.when(skip_pred)
@@ -636,6 +639,15 @@ def bucket_reduce_pallas(plan: Msm4Plan, F, ctx, mat_int8, block_need):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((KW, 3 * ew), jnp.int32),
         scratch_shapes=[pltpu.VMEM((3 * ew, GL), jnp.int32)],
+        # The L=96 add body's conv temporaries put the Mosaic stack just
+        # past the default 16 MB scoped-vmem limit (the calibrated BW6
+        # witness-MSM kernel overflowed by 52 KB at B0=4 — AOT failure
+        # found by the round-5 batch-8 e2e).  v5e has 128 MB of VMEM;
+        # grant the kernel an explicit 100 MB budget instead of shrinking
+        # B0 further (smaller blocks cost grid steps on EVERY msm).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=_interpret(),
     )(block_need, mat_int8, *consts)
 
@@ -831,9 +843,20 @@ def finalize_projective(plan: Msm4Plan, F, ctx, acc):
 def _groups_of(plan: Msm4Plan):
     """Window groups whose bucket matrices stay under the HBM budget:
     the matrix for ALL windows at once is multi-GB for BW6-761 (5.5 GB
-    at n=2^18, plus the gather output before the transpose)."""
+    at n=2^18, plus the gather output before the transpose).
+
+    Matrices that fit 1.1 GB whole stay a SINGLE group: every extra group
+    dispatch re-runs digits+sort and pays a jit boundary (~260 ms
+    measured on the BLS n=2^18 bench plan, whose 1.03 GB matrix just
+    missed the old 768 MB budget); the 768 MB chunking only exists to
+    bound peak HBM on the multi-GB BW6 plans."""
+    total = sum(
+        plan.win_lanes(ws) * plan.C * 2 * plan.ew
+        for ws in plan.win_shapes
+    )
+    default = total if total <= (1100 << 20) else (768 << 20)
     budget = int(
-        _os_env.get("ZECALE_MSM4_GROUP_BUDGET", str(768 << 20))
+        _os_env.get("ZECALE_MSM4_GROUP_BUDGET", str(default))
     )
     groups = []
     glo = 0
@@ -1185,17 +1208,16 @@ def msm4_jit(curve_name: str, g2: bool, n: int, c: int = 0,
     groups = _groups_of(plan)
     reduce_fn = _reduce_fn_of(use_pallas)
 
-    def counts_run(scal8, pts_aff):
-        _, _, counts = _prologue(plan, scal8, pts_aff)
-        return counts
-
     def group_run(scal8, pts_aff, layer, win_range):
         skeys, starts, counts = _prologue(plan, scal8, pts_aff)
         table = _table_int8(plan, F, pts_aff)
-        return _layer_partials(
+        parts = _layer_partials(
             plan, F, ctx, skeys, starts, counts, table, layer,
             reduce_fn, [win_range],
         )
+        # counts ride along so the overflow-layer decision and the
+        # epilogue need no separate prologue pass
+        return parts, counts
 
     def epilogue(counts, *parts):
         partials = (
@@ -1204,7 +1226,6 @@ def msm4_jit(curve_name: str, g2: bool, n: int, c: int = 0,
         pf = _fold_assemble(plan, F, ctx, partials, counts)
         return weighted_horner(plan, F, ctx, pf)
 
-    counts_j = bound_jit(binders, counts_run)
     grp_j = {
         wr: bound_jit(
             binders,
@@ -1222,14 +1243,17 @@ def msm4_jit(curve_name: str, g2: bool, n: int, c: int = 0,
         # as the isolated graph that is stable on the backend; a fused
         # multi-group graph intermittently corrupts one group's bucket
         # matrix (which group varies with graph structure — round-5
-        # batch-8 e2e invalid-proof debugging).  The small jit-boundary
-        # cost (re-running digits+sort per group, ~15 ms each) is noise
-        # against the reduce, and per-group dispatch also bounds live
-        # HBM to one group's matrix.
-        counts = counts_j(scal8, pts_aff)
-        parts = [
+        # batch-8 e2e invalid-proof debugging).  The jit-boundary cost
+        # (re-running digits+sort per group) is bounded by keeping
+        # fits-whole matrices single-group (_groups_of) and riding the
+        # bucket counts on the first group's output instead of a
+        # separate prologue jit; per-group dispatch also bounds live HBM
+        # to one group's matrix.
+        outs = [
             grp_j[wr](scal8, pts_aff, jnp.int32(0)) for wr in groups
         ]
+        parts = [o[0] for o in outs]
+        counts = outs[0][1]
         counts_np = np.asarray(counts)  # (W, K) i32 — tiny host pull
         layer = 1
         while layers_needed_host(plan, counts_np, layer):
@@ -1242,7 +1266,7 @@ def msm4_jit(curve_name: str, g2: bool, n: int, c: int = 0,
                             plan, F, ctx, a, b
                         ),
                     )
-                extra = grp_j[wr](scal8, pts_aff, jnp.int32(layer))
+                extra, _ = grp_j[wr](scal8, pts_aff, jnp.int32(layer))
                 parts[gi] = lazy[key](parts[gi], extra)
             layer += 1
         return epi_j(counts, *parts)

@@ -132,23 +132,40 @@ def redc_q(T, tc):
     """Montgomery REDC of a raw (2L, ...)-accumulator (i32 limb sums from
     one or more fp8t.conv_ab_t calls, per-limb non-negative, value
     < 128*p^2).  Output: canonical limbs, value < 2p (k=2 when the conv
-    k-product sum is <= 128).  NO trailing conditional subtract."""
+    k-product sum is <= 128).  NO trailing conditional subtract.
+
+    ZECALE_REDC16=1 routes the three carry resolutions through the 16-bit
+    carry domain (half the rows, one fewer Kogge-Stone step).  MEASURED
+    SLOWER on chip (round-5 ablation, BLS n=2^18 reduce: 1416 ms vs 1217
+    byte-domain): the pair-combine/split relayouts outweigh the saved
+    steps, the same trade add_q documents.  Kept as a measurement flag
+    for other hardware generations."""
+    import os as _os
+
     L = tc["L"]
     trail = T.shape[1:]
-    Tc, _ = carry_exact_t(T, 2)
-    Tc = Tc[: 2 * L]
+    if _os.environ.get("ZECALE_REDC16"):
+        def _carry(acc):
+            out, _ = carry16_exact_t(acc, 1)
+            return out
+    else:
+        def _carry(acc):
+            out, _ = carry_exact_t(acc, 2)
+            return out
+
+    Tc = _carry(T)[: 2 * L]
     m_acc = jnp.matmul(
         tc["toep_np_t"],
         Tc[:L].reshape(L, -1).astype(jnp.bfloat16),
         preferred_element_type=jnp.float32,
     ).astype(jnp.int32).reshape(L, *trail)
-    m, _ = carry_exact_t(m_acc, 2)
+    m = _carry(m_acc)
     mp = jnp.matmul(
         tc["toep_p_t"],
         m[:L].reshape(L, -1).astype(jnp.bfloat16),
         preferred_element_type=jnp.float32,
     ).astype(jnp.int32).reshape(2 * L, *trail)
-    Sc, _ = carry_exact_t(Tc + mp, 2)
+    Sc = _carry(Tc + mp)
     return Sc[L : 2 * L]
 
 

@@ -206,19 +206,56 @@ def double_t(a, tc):
 
 
 def _conv_onehot_t(a, b, tc):
-    """Signed-byte-valued (h, B) vectors -> (2h, B) i32 convolution."""
+    """Signed-byte-valued (h, B) vectors -> (2h, B) i32 convolution.
+
+    Round-5 formulation: nibble-split ONE OPERAND instead of the product.
+    a = 16*(a>>4) + (a&15) exactly (arithmetic shift handles the signed
+    karatsuba differences), so conv(a,b) = conv(a&15, b) + 16*conv(a>>4,
+    b).  Each partial product is f32-exact (|.| <= 16*255 = 4080, 12
+    bits) and each one-hot contraction sum is <= h^2 * 4080 <= 9.4M <
+    2^24 for h <= 48 — exact in f32 accumulation (HIGHEST precision =
+    bf16x3 passes on the MXU, exact for <= 24 significand bits).  The
+    partials recombine in i32.
+
+    MEASURED SLOWER on chip (round-5 ablation: reduce 2514 ms vs ~1300 ms
+    at BLS n=2^18): HIGHEST-precision f32 matmuls lower to 6-9 bf16
+    passes per contraction, and the MXU — idle in the byte-split form —
+    becomes the bottleneck.  The byte product-split form (one bf16 pass
+    per one-hot matrix) stays the default; ZECALE_CONV_NIBBLE=1 selects
+    this variant for re-measurement on other hardware."""
+    import os as _os
+
     h = a.shape[0]
-    af = a.astype(jnp.float32)
+    if not _os.environ.get("ZECALE_CONV_NIBBLE"):
+        af = a.astype(jnp.float32)
+        bf = b.astype(jnp.float32)
+        prod = af[:, None] * bf[None, :]  # (h, h, B) f32, exact
+        hi = jnp.floor(prod * (1.0 / 256.0))
+        lo = prod - hi * 256.0
+        lo = lo.astype(jnp.bfloat16).reshape(h * h, -1)
+        hi = hi.astype(jnp.bfloat16).reshape(h * h, -1)
+        acc = jnp.matmul(
+            tc["oh_lo_t"], lo, preferred_element_type=jnp.float32
+        ) + jnp.matmul(tc["oh_hi_t"], hi, preferred_element_type=jnp.float32)
+        return acc.astype(jnp.int32).reshape(2 * h, *a.shape[1:])
+    assert h <= 48, "nibble-split conv exactness bound (h^2*4080 < 2^24)"
+    import jax as _jax
+
+    a_lo = (a & 15).astype(jnp.float32)   # [0, 15]
+    a_hi = (a >> 4).astype(jnp.float32)   # [-16, 15] arithmetic
     bf = b.astype(jnp.float32)
-    prod = af[:, None] * bf[None, :]  # (h, h, B) f32, exact
-    hi = jnp.floor(prod * (1.0 / 256.0))
-    lo = prod - hi * 256.0
-    lo = lo.astype(jnp.bfloat16).reshape(h * h, -1)
-    hi = hi.astype(jnp.bfloat16).reshape(h * h, -1)
-    acc = jnp.matmul(
-        tc["oh_lo_t"], lo, preferred_element_type=jnp.float32
-    ) + jnp.matmul(tc["oh_hi_t"], hi, preferred_element_type=jnp.float32)
-    return acc.astype(jnp.int32).reshape(2 * h, *a.shape[1:])
+    lo = (a_lo[:, None] * bf[None, :]).reshape(h * h, -1)
+    hi = (a_hi[:, None] * bf[None, :]).reshape(h * h, -1)
+    oh = tc["oh_lo_t"].astype(jnp.float32)
+    acc_lo = jnp.matmul(
+        oh, lo, preferred_element_type=jnp.float32,
+        precision=_jax.lax.Precision.HIGHEST,
+    ).astype(jnp.int32)
+    acc_hi = jnp.matmul(
+        oh, hi, preferred_element_type=jnp.float32,
+        precision=_jax.lax.Precision.HIGHEST,
+    ).astype(jnp.int32)
+    return (acc_lo + (acc_hi << 4)).reshape(2 * h, *a.shape[1:])
 
 
 def conv_ab_t(a, b, tc):
