@@ -16,7 +16,13 @@ TEST_ENV = env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
            --xla_cpu_copy_insertion_use_region_analysis=false \
            --xla_llvm_disable_expensive_passes=true"
 
-.PHONY: test test-all bench e2e dryrun
+.PHONY: test test-all bench e2e dryrun sanitize
+
+# Reference-sanitizers analog (cmake/sanitizers.cmake): rebuild csrc/ with
+# ASan/UBSan and drive field/curve/pairing/witness entry points.
+sanitize:
+	$(TEST_ENV) python scripts/sanitize_check.py Undefined
+	$(TEST_ENV) python scripts/sanitize_check.py Address
 
 test:
 	$(TEST_ENV) python -m pytest tests/ -x -q

@@ -27,22 +27,51 @@ _SRCS = [
     os.path.join(_CSRC, "witness_engine.c"),
     os.path.join(_CSRC, "ec_engine.c"),
 ]
-_SO = os.path.join(tempfile.gettempdir(), "zecale_native.so")
+#: Sanitizer analog of the reference's -DSANITIZER builds
+#: (/root/reference/cmake/sanitizers.cmake:17-91): ZECALE_NATIVE_SANITIZE=
+#: address|undefined compiles the engine with the chosen sanitizer into a
+#: separate .so (exercised by scripts/sanitize_check.py / `make sanitize`).
+_SAN_FLAGS = {
+    "address": ["-fsanitize=address", "-fno-omit-frame-pointer", "-g"],
+    "undefined": ["-fsanitize=undefined", "-fno-sanitize-recover=all",
+                  "-g"],
+}
+
+
+def sanitize_mode() -> str:
+    mode = os.environ.get("ZECALE_NATIVE_SANITIZE", "").lower()
+    assert mode in ("", *_SAN_FLAGS), mode
+    return mode
+
+
+def sanitizer_active() -> bool:
+    return bool(sanitize_mode()) and _lib() is not None
+
+
+def _so_path(base: str) -> str:
+    mode = sanitize_mode()
+    suffix = f".{mode}" if mode else ""
+    return os.path.join(tempfile.gettempdir(), base + suffix + ".so")
+
+
+_SO = _so_path("zecale_native")
 
 
 @functools.lru_cache(maxsize=1)
 def _lib() -> Optional[ctypes.CDLL]:
     try:
+        so = _so_path("zecale_native")
         newest = max(os.path.getmtime(s) for s in _SRCS + [
             os.path.join(_CSRC, "fp_core.h")
         ])
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < newest:
+        if not os.path.exists(so) or os.path.getmtime(so) < newest:
             subprocess.run(
-                ["gcc", "-O3", "-fopenmp", "-shared", "-fPIC", "-o", _SO] + _SRCS,
+                ["gcc", "-O3", "-fopenmp", "-shared", "-fPIC", "-o", so]
+                + _SAN_FLAGS.get(sanitize_mode(), []) + _SRCS,
                 check=True,
                 capture_output=True,
             )
-        lib = ctypes.CDLL(_SO)
+        lib = ctypes.CDLL(so)
         lib.curve_ctx_size.restype = ctypes.c_long
         lib.ext_ctx_size.restype = ctypes.c_long
         return lib

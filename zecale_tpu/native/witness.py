@@ -24,6 +24,20 @@ _SO = os.path.join(tempfile.gettempdir(), "zecale_witness_engine.so")
 LIMB64 = 64
 
 
+def _so_and_flags():
+    """Sanitized-build variant selection (ZECALE_NATIVE_SANITIZE; see
+    native/ec.py — the reference-sanitizers analog,
+    /root/reference/cmake/sanitizers.cmake:17-91)."""
+    from .ec import _SAN_FLAGS, sanitize_mode
+
+    mode = sanitize_mode()
+    suffix = f".{mode}" if mode else ""
+    so = os.path.join(
+        tempfile.gettempdir(), "zecale_witness_engine" + suffix + ".so"
+    )
+    return so, _SAN_FLAGS.get(mode, [])
+
+
 def _limbs64(x: int, nl: int) -> np.ndarray:
     out = np.empty(nl, dtype=np.uint64)
     for i in range(nl):
@@ -41,15 +55,16 @@ def _from_limbs64(a: np.ndarray) -> int:
 @functools.lru_cache(maxsize=1)
 def _lib() -> Optional[ctypes.CDLL]:
     try:
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(
+        so, san = _so_and_flags()
+        if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(
             _SRC
         ):
             subprocess.run(
-                ["gcc", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC],
+                ["gcc", "-O3", "-shared", "-fPIC", "-o", so] + san + [_SRC],
                 check=True,
                 capture_output=True,
             )
-        lib = ctypes.CDLL(_SO)
+        lib = ctypes.CDLL(so)
         lib.fp_ctx_size.restype = ctypes.c_long
         return lib
     except Exception:
