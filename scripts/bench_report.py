@@ -21,9 +21,13 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_zecale")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.join(_REPO, ".jax_cache")
+)
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+sys.path.insert(0, _REPO)
 
 import random
 
@@ -53,7 +57,13 @@ def _msm_bench(curve, n, c, iters=3):
     pts = [base[i % 64] for i in range(n)]
     Fr8 = fp8.field8(r)
     pts_dev = msm8.pack_points_affine8(curve, pts)
-    fn = msm8.msm8_jit(curve, False, c)
+    # round-4/5 dense-bucket engine, same routing as bench.py / the prover
+    if os.environ.get("ZECALE_USE_MSM8"):
+        engine, fn = "msm8", msm8.msm8_jit(curve, False, c)
+    else:
+        from zecale_tpu.ec import msm4
+
+        engine, fn = "msm4", msm4.msm4_jit(curve, False, n)
     variants = [
         Fr8.pack([rng.randrange(r) for _ in range(n)], mont=False)
         for _ in range(iters)
@@ -77,7 +87,8 @@ def _msm_bench(curve, n, c, iters=3):
     log(f"{curve} G1 MSM n=2^{n.bit_length()-1} c={c}: "
         f"{dt*1e3:.0f} ms ({n/dt/1e6:.4f} Mpoints/s), compile {compile_s:.0f}s")
     return {
-        "n": n, "c": c, "steady_ms": round(dt * 1e3, 1),
+        "n": n, "c": c, "engine": engine,
+        "steady_ms": round(dt * 1e3, 1),
         "mpoints_per_s": round(n / dt / 1e6, 4),
         "compile_s": round(compile_s, 1),
     }
@@ -154,6 +165,14 @@ def main():
     report["fft_bw6_761"] = _fft_bench("bw6-761", n_fft)
     report["msm_bw6_761_g1"] = _msm_bench("bw6-761", n_bw6, 11)
     report["msm_bls12_377_g1"] = _msm_bench("bls12-377", n_bls, 13)
+    # merge the batch-8 wrapper e2e summary (the aggregated-proofs/s north
+    # star) if a bench.py/aggregate_e2e.py run left one behind
+    e2e_json = os.environ.get(
+        "BENCH_E2E_JSON", "/tmp/zecale_bench_e2e_b8.json"
+    )
+    if os.path.exists(e2e_json):
+        with open(e2e_json) as f:
+            report["aggregate_e2e_b8"] = json.load(f)
     with open(OUT, "w") as f:
         json.dump(report, f, indent=2)
     log(f"wrote {OUT}")
