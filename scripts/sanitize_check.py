@@ -32,7 +32,7 @@ import hashlib
 import random
 import sys
 
-sys.path.insert(0, %(repo)r)
+sys.path.insert(0, "@REPO@")
 
 from zecale_tpu.ff import params as P
 from zecale_tpu.ec import host_curve as hc
@@ -123,7 +123,7 @@ def main() -> int:
     print(f"[sanitize] building + driving native engine under {kind}",
           flush=True)
     res = subprocess.run(
-        [sys.executable, "-c", _CHILD % {"repo": _REPO}], env=env
+        [sys.executable, "-c", _CHILD.replace("@REPO@", _REPO)], env=env
     )
     if res.returncode != 0:
         print(f"[sanitize] FAILED under {kind} (exit {res.returncode})")
